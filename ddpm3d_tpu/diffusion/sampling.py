@@ -1,0 +1,206 @@
+"""Single-program samplers: DDPM ancestral and DDIM, as ``lax.scan`` loops.
+
+The reference drives 1000 reverse steps from Python, launching one graph per
+step (gaussian_diffusion.py:487-535, 659-707). Here the whole chain compiles
+to ONE XLA program: per-step coefficients are gathered from the ``Schedule``
+tables inside the scan body and the t==0 noise mask is a ``jnp.where`` — no
+shape-dependent Python control flow.
+
+PRNG: explicit ``jax.random`` keys (replacing the reference's global
+``th.manual_seed(10)``, scripts/test.py:44-49). Matched-noise parity with the
+reference is available through the ``noise`` argument, mirroring gd.py:510-513.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import process
+from .process import DiffusionConfig
+from .schedules import Schedule
+
+
+def p_sample(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """One DDPM ancestral step x_t -> x_{t-1} (reference gd.py:395-439)."""
+    out = process.p_mean_variance(
+        model_fn, sched, cfg, x, t,
+        clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+        model_kwargs=model_kwargs,
+    )
+    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    nonzero_mask = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    if cond_fn is not None:
+        out["mean"] = process.condition_mean(
+            cond_fn, sched, cfg, out, x, t, model_kwargs=model_kwargs
+        )
+    sample = out["mean"] + nonzero_mask * jnp.exp(0.5 * out["log_variance"]) * noise
+    return {"sample": sample, "pred_xstart": out["pred_xstart"]}
+
+
+def ddim_sample(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+    eta: float = 0.0,
+) -> Dict[str, jnp.ndarray]:
+    """One DDIM step (reference gd.py:537-585)."""
+    out = process.p_mean_variance(
+        model_fn, sched, cfg, x, t,
+        clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+        model_kwargs=model_kwargs,
+    )
+    if cond_fn is not None:
+        out = process.condition_score(
+            cond_fn, sched, cfg, out, x, t, model_kwargs=model_kwargs
+        )
+    nd = x.ndim
+    eps = process.predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
+    alpha_bar = process.extract(sched.alphas_cumprod, t, nd)
+    alpha_bar_prev = process.extract(sched.alphas_cumprod_prev, t, nd)
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
+        * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
+    )
+    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    mean_pred = (
+        out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
+        + jnp.sqrt(1.0 - alpha_bar_prev - sigma ** 2) * eps
+    )
+    nonzero_mask = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (nd - 1))
+    sample = mean_pred + nonzero_mask * sigma * noise
+    return {"sample": sample, "pred_xstart": out["pred_xstart"]}
+
+
+def ddim_reverse_sample(
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Deterministic DDIM reverse-ODE step x_t -> x_{t+1} (gd.py:587-623)."""
+    out = process.p_mean_variance(
+        model_fn, sched, cfg, x, t,
+        clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+        model_kwargs=model_kwargs,
+    )
+    nd = x.ndim
+    eps = (
+        process.extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x
+        - out["pred_xstart"]
+    ) / process.extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+    alpha_bar_next = process.extract(sched.alphas_cumprod_next, t, nd)
+    mean_pred = (
+        out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
+        + jnp.sqrt(1.0 - alpha_bar_next) * eps
+    )
+    return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
+
+
+def _scan_loop(step_fn, key, noise, num_steps, return_intermediates):
+    """Run ``num_steps`` reverse steps (T-1 .. 0) as a single lax.scan."""
+
+    def body(img, t_scalar):
+        step_key = jax.random.fold_in(key, t_scalar)
+        out = step_fn(step_key, img, t_scalar)
+        y = out["sample"] if return_intermediates else None
+        return out["sample"], y
+
+    ts = jnp.arange(num_steps - 1, -1, -1)
+    final, ys = jax.lax.scan(body, noise, ts)
+    return (final, ys) if return_intermediates else final
+
+
+def p_sample_loop(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    shape=None,
+    noise: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+    return_intermediates: bool = False,
+):
+    """Full DDPM ancestral sampling chain compiled to one XLA program
+    (replaces the Python loop of reference gd.py:441-535).
+
+    Exactly one of ``shape`` / ``noise`` must pin the sample shape; when
+    ``noise`` is given it is used as x_T (parity path for matched-noise
+    comparison against the reference)."""
+    if noise is None:
+        assert shape is not None, "provide shape or noise"
+        key, init_key = jax.random.split(key)
+        noise = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+
+    B = noise.shape[0]
+
+    def step(step_key, img, t_scalar):
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        return p_sample(
+            step_key, model_fn, sched, cfg, img, t,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, model_kwargs=model_kwargs,
+        )
+
+    return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
+
+
+def ddim_sample_loop(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    shape=None,
+    noise: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+    eta: float = 0.0,
+    return_intermediates: bool = False,
+):
+    """Full DDIM chain as one XLA program (reference gd.py:625-707)."""
+    if noise is None:
+        assert shape is not None, "provide shape or noise"
+        key, init_key = jax.random.split(key)
+        noise = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+
+    B = noise.shape[0]
+
+    def step(step_key, img, t_scalar):
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        return ddim_sample(
+            step_key, model_fn, sched, cfg, img, t,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, model_kwargs=model_kwargs, eta=eta,
+        )
+
+    return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
