@@ -1,0 +1,121 @@
+"""Benchmark: denoised voxels/sec/chip at 1000-step DDPM.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the driver-set north star
+is a full whole-body volume (18 x 96^3 patches, 1000 DDPM steps) in < 2
+minutes on a v5e-8. That target corresponds to
+  18 * 96^3 / (120 s * 8 chips) = 16,589 voxels/sec/chip,
+so ``vs_baseline`` = measured_rate / 16,589 (>1 beats the target).
+
+Measures the real production path: flagship SuperResModel_noatt (128ch,
+(1,1,2,3,4), learn_sigma, bf16) under the single-program ``lax.scan``
+sampler, timing K steps after warm-up and extrapolating to the 1000-step
+chain (per-step cost is constant across the chain).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddpm3d_tpu.diffusion import (
+        DiffusionConfig, LossType, MeanType, VarType,
+        linear_beta_schedule, make_schedule, make_spaced_schedule,
+        p_sample_loop, space_timesteps,
+    )
+    from ddpm3d_tpu.models import SuperResModel
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    if on_tpu:
+        patch = 96
+        batch = int(os.environ.get("BENCH_BATCH", "1"))
+        model = SuperResModel(
+            in_channels=1, model_channels=128, out_channels=2,
+            num_res_blocks=2, attention_resolutions=(0,),
+            channel_mult=(1, 1, 2, 3, 4), dims=3, use_scale_shift_norm=True,
+            resblock_updown=True, middle_attention=False, dtype=jnp.bfloat16,
+        )
+        steps_measured = int(os.environ.get("BENCH_STEPS", "50"))
+    else:
+        patch = 32
+        batch = 1
+        model = SuperResModel(
+            in_channels=1, model_channels=64, out_channels=2,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            dims=3, use_scale_shift_norm=True, resblock_updown=True,
+            middle_attention=False, dtype=jnp.bfloat16,
+        )
+        steps_measured = 4
+
+    # K-step chain with the SAME per-step math as the 1000-step production
+    # chain (the sampler gathers per-step coefficients inside the scan).
+    betas = linear_beta_schedule(1000)
+    sched = make_spaced_schedule(
+        betas, sorted(space_timesteps(1000, f"ddim{steps_measured}"))
+    )
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=1000,
+    )
+
+    key = jax.random.key(0)
+    shape = (batch, patch, patch, patch, 1)
+    low = jnp.zeros(shape, jnp.float32)
+    x = jnp.zeros(shape, jnp.float32)
+    t0 = jnp.zeros((batch,), jnp.int32)
+    params = model.init(jax.random.key(1), x, t0, low_res=low)
+
+    def run(key, low):
+        model_fn = lambda xx, tt, **kw: model.apply(params, xx, tt, **kw)
+        return p_sample_loop(
+            key, model_fn, sched, cfg, shape=shape,
+            model_kwargs={"low_res": low},
+        )
+
+    jitted = jax.jit(run)
+    # warm-up / compile
+    jax.block_until_ready(jitted(key, low))
+    reps = 3 if on_tpu else 1
+    t0_ = time.perf_counter()
+    for i in range(reps):
+        out = jitted(jax.random.fold_in(key, i), low)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0_) / reps
+
+    per_step = elapsed / steps_measured
+    full_chain_time = per_step * 1000.0
+    voxels = batch * patch ** 3
+    rate = voxels / full_chain_time  # voxels/sec/chip (single-chip measure)
+
+    target_rate = 18 * 96 ** 3 / (120.0 * 8)  # north-star: <2 min on v5e-8
+    result = {
+        "metric": "denoised_voxels_per_sec_per_chip_1000step_ddpm",
+        "value": round(rate, 1),
+        "unit": "voxel/s/chip",
+        "vs_baseline": round(rate / target_rate, 3),
+        "platform": platform,
+        "patch": patch,
+        "batch": batch,
+        "steps_measured": steps_measured,
+        "per_step_ms": round(per_step * 1000, 2),
+        "projected_full_volume_s_on_8chip": round(
+            18 * 96 ** 3 / max(rate, 1e-9) / 8, 1
+        ) if on_tpu else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Whole-volume denoising pipeline: patch grid -> sharded sampling -> Hann
+blend -> .npz/.tif outputs.
+
+Clean-room equivalent of the reference's inference driver
+(scripts/test.py:19-299), redesigned TPU-first:
+
+- The 18-patch grid is stacked into ONE batch, padded to a multiple of the
+  device count, and sampled under a single jitted ``lax.scan`` chain with
+  the batch dim sharded over the mesh's ``data`` axis. This replaces the
+  reference's per-rank Python loop with a per-patch ``all_gather`` every
+  yield (scripts/test.py:51-80) — and designs away its
+  deadlock-on-ragged-count hazard (SURVEY.md §2).
+- Patches can additionally be batched per device (the reference runs
+  batch=1 per rank), which improves MXU utilisation.
+- Output fidelity: (H, W, Z) float32 ``.npz`` + (Z, H, W) ``.tif``
+  matching scripts/test.py:168-179, including the noise-reduction stats
+  (scripts/test.py:154-161).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import (
+    DiffusionConfig,
+    Schedule,
+    ddim_sample_loop,
+    p_sample_loop,
+)
+from ..data import tiff_io
+from ..data.patches import (
+    blend_patches_hann,
+    extract_patches_zxy,
+    patch_grid,
+    test_xy_starts,
+    test_z_starts,
+)
+from ..parallel import mesh as pmesh
+from ..utils import logger
+
+
+def load_volume_for_denoising(
+    path: str, enforce_contract: bool = True
+) -> np.ndarray:
+    """Load a (Z, H, W) volume; the active reference script applies NO
+    normalization (scripts/test.py:201-203) and asserts the scanner's
+    200x200x[90..130] shape contract (scripts/test.py:197-199)."""
+    ext = osp.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff"):
+        vol = tiff_io.imread(path)
+    elif ext == ".npz":
+        vol = np.load(path)["arr_0"]
+    elif ext == ".npy":
+        vol = np.load(path)
+    else:
+        raise ValueError(f"unsupported input type: {ext}")
+    vol = np.asarray(vol)
+    if vol.ndim == 4 and vol.shape[0] == 1:
+        vol = vol[0]
+    assert vol.ndim == 3, f"expected 3-D volume, got {vol.shape}"
+    if enforce_contract:
+        D, H, W = vol.shape
+        assert H == 200 and W == 200, (
+            f"Expected 200x200 XY dimensions, got {H}x{W}"
+        )
+        assert 90 <= D <= 130, f"Expected Z dimension 90-130, got {D}"
+    return vol.astype(np.float32)
+
+
+def denoise_patches(
+    key: jax.Array,
+    model_apply,
+    params,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    low_patches: np.ndarray,
+    *,
+    use_ddim: bool = False,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    mesh=None,
+    per_device_batch: Optional[int] = None,
+    noise: Optional[np.ndarray] = None,
+    progress_cb=None,
+) -> np.ndarray:
+    """Run the full reverse chain on a stack of conditioner patches.
+
+    ``low_patches``: [P, Z, X, Y] float32. Returns denoised [P, Z, X, Y].
+
+    The patch dim is padded to a multiple of the data-mesh size and sharded;
+    each jit call processes n_devices * per_device_batch patches as one
+    batched scan over timesteps.
+    """
+    mesh = mesh if mesh is not None else pmesh.make_mesh()
+    n_data = int(np.prod(mesh.devices.shape))
+    P = low_patches.shape[0]
+    per_device_batch = per_device_batch or 1
+    chunk = n_data * per_device_batch
+
+    def sample_chunk(chunk_key, low_chunk, noise_chunk):
+        model_fn = lambda x, t, **kw: model_apply({"params": params}, x, t, **kw)
+        kwargs = {"low_res": low_chunk}
+        loop = ddim_sample_loop if use_ddim else p_sample_loop
+        extra = {"eta": eta} if use_ddim else {}
+        return loop(
+            chunk_key, model_fn, sched, cfg,
+            noise=noise_chunk,
+            clip_denoised=clip_denoised,
+            model_kwargs=kwargs,
+            **extra,
+        )
+
+    jitted = jax.jit(sample_chunk)
+    sharding = pmesh.data_sharding(mesh)
+
+    padded = pmesh.pad_to_multiple(P, chunk)
+    pad = padded - P
+    low = np.concatenate([low_patches] + [low_patches[-1:]] * pad)[..., None]
+
+    outs = []
+    for start in range(0, padded, chunk):
+        low_chunk = jax.device_put(
+            jnp.asarray(low[start : start + chunk]), sharding
+        )
+        chunk_key = jax.random.fold_in(key, start)
+        if noise is not None:
+            noise_chunk = jax.device_put(
+                jnp.asarray(
+                    np.concatenate(
+                        [noise, noise[-1:].repeat(pad, axis=0)]
+                        if pad else [noise]
+                    )[start : start + chunk][..., None]
+                ),
+                sharding,
+            )
+        else:
+            noise_chunk = jax.random.normal(
+                chunk_key, low_chunk.shape, dtype=jnp.float32
+            )
+            noise_chunk = jax.device_put(noise_chunk, sharding)
+        out = jitted(chunk_key, low_chunk, noise_chunk)
+        outs.append(np.asarray(jax.device_get(out))[..., 0])
+        if progress_cb is not None:
+            progress_cb(min(start + chunk, P), P)
+    return np.concatenate(outs)[:P]
+
+
+def denoise_volume(
+    key: jax.Array,
+    model_apply,
+    params,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    volume_zxy: np.ndarray,
+    *,
+    patch_size: int = 96,
+    num_xy_patches: int = 3,
+    use_ddim: bool = False,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    mesh=None,
+    per_device_batch: Optional[int] = None,
+) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Denoise a whole (Z, H, W) volume; returns ((H, W, Z) result, stats).
+
+    Mirrors scripts/test.py end-to-end: fixed patch grid, full reverse
+    chain per patch, 3-D Hann blending, noise-reduction stats.
+    """
+    Z, H, W = volume_zxy.shape
+    xs = test_xy_starts(H, patch_size, num_xy_patches)
+    ys = test_xy_starts(W, patch_size, num_xy_patches)
+    zs = test_z_starts(Z, patch_size)
+    grid = patch_grid(xs, ys, zs)
+    logger.log(
+        f"Patch grid: X {xs}, Y {ys}, Z {zs} -> {len(grid)} patches"
+    )
+
+    low = extract_patches_zxy(volume_zxy, grid, patch_size)  # [P,Z,X,Y]
+    denoised = denoise_patches(
+        key, model_apply, params, sched, cfg, low,
+        use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
+        mesh=mesh, per_device_batch=per_device_batch,
+        progress_cb=lambda done, total: logger.log(
+            f"denoised {done}/{total} patches"
+        ),
+    )
+
+    # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
+    patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
+    result = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
+
+    original_std = float(volume_zxy.std())
+    denoised_std = float(result.std())
+    stats = {
+        "original_std": original_std,
+        "denoised_std": denoised_std,
+        "noise_reduction_pct": (
+            (original_std - denoised_std) / original_std * 100.0
+            if original_std > 0
+            else 0.0
+        ),
+    }
+    logger.log(
+        f"Full image denoising: original std {original_std:.4f}, "
+        f"denoised std {denoised_std:.4f}, "
+        f"noise reduction {stats['noise_reduction_pct']:.1f}%"
+    )
+    return result, stats
+
+
+def save_outputs(
+    out_dir: str, base_samples: str, result_hwz: np.ndarray
+) -> Tuple[str, Optional[str]]:
+    """Write the .npz (and .tif for TIFF inputs) outputs, process-0 only
+    (reference scripts/test.py:168-179)."""
+    if jax.process_index() != 0:
+        return "", None
+    os.makedirs(out_dir, exist_ok=True)
+    base = osp.basename(base_samples)
+    for ext in (".tif", ".tiff", ".npz", ".npy"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+            break
+    npz_path = osp.join(out_dir, f"denoised_{base}.npz")
+    np.savez(npz_path, result_hwz)
+    logger.log(f"saving to {npz_path}")
+    tif_path = None
+    if base_samples.endswith((".tif", ".tiff")):
+        tif_path = npz_path.replace(".npz", ".tif")
+        tiff_io.imwrite(tif_path, result_hwz.transpose(2, 0, 1).astype(np.float32))
+        logger.log(f"Saved denoised TIFF: {tif_path}")
+    return npz_path, tif_path

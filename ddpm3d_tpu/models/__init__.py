@@ -1,0 +1,23 @@
+"""Model layer: NN primitives, UNet wiring plans, Flax model families."""
+
+from . import nn
+from .plan import (
+    AttnSpec,
+    ConvSpec,
+    DownSpec,
+    ResSpec,
+    UNetPlan,
+    UpSpec,
+    attention_ds_from_resolutions,
+    plan_unet,
+)
+from .unet import (
+    AttentionBlock,
+    AttentionPool,
+    Downsample,
+    EncoderUNetModel,
+    ResBlock,
+    SuperResModel,
+    UNetModel,
+    Upsample,
+)

@@ -1,0 +1,211 @@
+"""NN primitives for the 3D diffusion UNet, NDHWC/TPU-native.
+
+Clean-room equivalents of reference guided_diffusion/nn.py:
+- sinusoidal timestep embedding (nn.py:103-121; cos-first ordering)
+- GroupNorm(32) computed in float32 regardless of activation dtype
+  (nn.py:17-19) — the fp32-islands-in-bf16 policy
+- zero-initialised output convolutions (nn.py:68-74)
+- conv/avg-pool dispatch for 1/2/3-D (nn.py:22-52)
+
+Layout convention: channels-last ([B, spatial..., C]); the reference is
+channels-first. All convolutions therefore use DHWIO kernels, which is the
+layout XLA:TPU tiles directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+# Number of groups used by every normalization layer (reference nn.py:93-100).
+NORM_GROUPS = 32
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal embeddings, [N] -> [N, dim]; cos first then sin
+    (reference nn.py:103-121). Computed in float32."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+def group_norm_f32(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = NORM_GROUPS,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm over the trailing channel axis, computed in float32 and cast
+    back to the input dtype (reference GroupNorm32, nn.py:17-19).
+
+    Works on any rank: x is [..., C]; statistics reduce over all non-batch
+    spatial axes and the within-group channel slice, exactly like torch's
+    GroupNorm on the channels-first mirror.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    C = xf.shape[-1]
+    assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
+    gshape = xf.shape[:-1] + (num_groups, C // num_groups)
+    xg = xf.reshape(gshape)
+    # reduce over all spatial dims + within-group channels (keep batch, group)
+    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=red_axes, keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=red_axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(xf.shape)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class GroupNorm32(fnn.Module):
+    """Param-holding wrapper over :func:`group_norm_f32`."""
+
+    num_groups: int = NORM_GROUPS
+    eps: float = 1e-5
+
+    @fnn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
+        return group_norm_f32(x, scale, bias, self.num_groups, self.eps)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def conv_nd(
+    dims: int,
+    features: int,
+    kernel_size: int,
+    stride=1,
+    padding="SAME",
+    use_bias: bool = True,
+    zero_init: bool = False,
+    dtype=None,
+    name: Optional[str] = None,
+) -> fnn.Conv:
+    """N-D convolution (channels-last). ``zero_init`` gives the reference's
+    zero_module behavior for output heads (nn.py:68-74)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * dims
+    if isinstance(stride, int):
+        stride = (stride,) * dims
+    kernel_init = (
+        fnn.initializers.zeros if zero_init else default_conv_init()
+    )
+    bias_init = fnn.initializers.zeros
+    return fnn.Conv(
+        features=features,
+        kernel_size=tuple(kernel_size),
+        strides=tuple(stride),
+        padding=padding,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def default_conv_init() -> Callable:
+    """Kaiming-uniform fan-in (torch Conv default), so fresh trainings start
+    in the same regime as the reference."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # shape is (*kernel, in, out) in flax; fan_in = prod(kernel) * in
+        fan_in = 1
+        for d in shape[:-1]:
+            fan_in *= d
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def dense(
+    features: int, zero_init: bool = False, dtype=None, name=None
+) -> fnn.Dense:
+    kernel_init = (
+        fnn.initializers.zeros
+        if zero_init
+        else fnn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+    )
+    return fnn.Dense(
+        features=features,
+        kernel_init=kernel_init,
+        bias_init=fnn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def avg_pool_nd(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
+    """Average pooling with window == stride (reference nn.py:42-52 usage)."""
+    window = tuple(window)
+    dims = (1,) + window + (1,)
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, dims, dims, "VALID"
+    ) * (1.0 / math.prod(window))
+
+
+def upsample_nearest_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest ×2 upsampling on the *trailing two spatial* axes only.
+
+    For 3-D volumes [B, D, H, W, C] this doubles H and W and preserves D —
+    the reference's anisotropic upsample (unet.py:102-105). For 2-D
+    [B, H, W, C] it doubles both (matching F.interpolate scale_factor=2).
+    """
+    if x.ndim == 5:
+        x = jnp.repeat(x, 2, axis=2)
+        x = jnp.repeat(x, 2, axis=3)
+        return x
+    if x.ndim == 4:
+        x = jnp.repeat(x, 2, axis=1)
+        x = jnp.repeat(x, 2, axis=2)
+        return x
+    if x.ndim == 3:  # 1-D [B, L, C]
+        return jnp.repeat(x, 2, axis=1)
+    raise ValueError(f"unsupported rank {x.ndim}")
+
+
+def downsample_stride(ndim_spatial: int) -> Tuple[int, ...]:
+    """The anisotropic stride: (1, 2, 2) for 3-D — the leading spatial axis
+    (depth/Z) is never downsampled (reference unet.py:129)."""
+    if ndim_spatial == 3:
+        return (1, 2, 2)
+    return (2,) * ndim_spatial
+
+
+def update_ema(ema_params, new_params, rate: float):
+    """EMA pytree update: ema = rate*ema + (1-rate)*new (reference nn.py:55-65)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * rate + p.astype(e.dtype) * (1.0 - rate),
+        ema_params,
+        new_params,
+    )
+
+
+def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
+    return x.mean(axis=tuple(range(1, x.ndim)))

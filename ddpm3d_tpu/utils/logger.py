@@ -1,0 +1,376 @@
+"""KV metrics logger with human/CSV/JSON/TensorBoard writers.
+
+Clean-room equivalent of the reference's OpenAI-baselines logger
+(guided_diffusion/logger.py): ``logkv`` (last-wins), ``logkv_mean``
+(running mean with counts), ``dumpkvs`` flush, ``profile_kv`` wall-time
+accumulation, multi-format writers selected by env var, per-rank file
+suffixes. TensorBoard output is gated on a lazy import.
+
+Process-0 semantics: in a multi-process JAX job, only process 0 writes
+stdout/CSV/JSON by default (mirror of logger.py:457-467's rank split).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime
+import functools
+import json
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+DEBUG = 10
+INFO = 20
+WARN = 30
+ERROR = 40
+DISABLED = 50
+
+
+class KVWriter:
+    def writekvs(self, kvs: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class SeqWriter:
+    def writeseq(self, seq) -> None:
+        raise NotImplementedError
+
+
+class HumanOutputFormat(KVWriter, SeqWriter):
+    """Boxed key | value table (reference logger.py:36-95)."""
+
+    def __init__(self, filename_or_file):
+        if isinstance(filename_or_file, str):
+            self.file = open(filename_or_file, "wt")
+            self.own_file = True
+        else:
+            self.file = filename_or_file
+            self.own_file = False
+
+    def writekvs(self, kvs):
+        key2str = {}
+        for key, val in sorted(kvs.items()):
+            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
+            key2str[self._truncate(key)] = self._truncate(valstr)
+        if not key2str:
+            print("WARNING: tried to write empty key-value dict")
+            return
+        keywidth = max(map(len, key2str.keys()))
+        valwidth = max(map(len, key2str.values()))
+        dashes = "-" * (keywidth + valwidth + 7)
+        lines = [dashes]
+        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
+            lines.append(
+                f"| {key}{' ' * (keywidth - len(key))} | "
+                f"{val}{' ' * (valwidth - len(val))} |"
+            )
+        lines.append(dashes)
+        self.file.write("\n".join(lines) + "\n")
+        self.file.flush()
+
+    @staticmethod
+    def _truncate(s: str, maxlen: int = 30) -> str:
+        return s[: maxlen - 3] + "..." if len(s) > maxlen else s
+
+    def writeseq(self, seq):
+        seq = list(seq)
+        for i, elem in enumerate(seq):
+            self.file.write(elem)
+            if i < len(seq) - 1:
+                self.file.write(" ")
+        self.file.write("\n")
+        self.file.flush()
+
+    def close(self):
+        if self.own_file:
+            self.file.close()
+
+
+class JSONOutputFormat(KVWriter):
+    """One JSON object per dump (reference logger.py:98-112)."""
+
+    def __init__(self, filename):
+        self.file = open(filename, "wt")
+
+    def writekvs(self, kvs):
+        out = {}
+        for k, v in sorted(kvs.items()):
+            out[k] = float(v) if hasattr(v, "dtype") or hasattr(v, "__float__") else v
+        self.file.write(json.dumps(out) + "\n")
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
+class CSVOutputFormat(KVWriter):
+    """CSV with dynamic column extension (reference logger.py:115-155)."""
+
+    def __init__(self, filename):
+        self.file = open(filename, "w+t")
+        self.keys: List[str] = []
+        self.sep = ","
+
+    def writekvs(self, kvs):
+        extra_keys = list(kvs.keys() - self.keys)
+        extra_keys.sort()
+        if extra_keys:
+            self.keys.extend(extra_keys)
+            self.file.seek(0)
+            lines = self.file.readlines()
+            self.file.seek(0)
+            self.file.write(self.sep.join(self.keys) + "\n")
+            for line in lines[1:]:
+                self.file.write(line[:-1] + self.sep * len(extra_keys) + "\n")
+        else:
+            self.file.seek(0, 2)  # append
+        if self.file.tell() == 0:
+            self.file.write(self.sep.join(self.keys) + "\n")
+        row = []
+        for key in self.keys:
+            v = kvs.get(key)
+            row.append("" if v is None else str(v))
+        self.file.write(self.sep.join(row) + "\n")
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar summaries via a lazy TF import (reference logger.py:158-204)."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self.step = 1
+        try:
+            from tensorboardX import SummaryWriter  # type: ignore
+
+            self.writer = SummaryWriter(logdir)
+        except Exception:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+                self.writer = SummaryWriter(logdir)
+            except Exception:
+                self.writer = None
+
+    def writekvs(self, kvs):
+        if self.writer is None:
+            return
+        for k, v in kvs.items():
+            try:
+                self.writer.add_scalar(k, float(v), self.step)
+            except (TypeError, ValueError):
+                pass
+        self.step += 1
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def make_output_format(fmt: str, ev_dir: str, log_suffix: str = "") -> KVWriter:
+    """(reference logger.py:187-204)"""
+    os.makedirs(ev_dir, exist_ok=True)
+    if fmt == "stdout":
+        return HumanOutputFormat(sys.stdout)
+    if fmt == "log":
+        return HumanOutputFormat(osp.join(ev_dir, f"log{log_suffix}.txt"))
+    if fmt == "json":
+        return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
+    if fmt == "csv":
+        return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
+    raise ValueError(f"Unknown format specified: {fmt}")
+
+
+class Logger:
+    DEFAULT: Optional["Logger"] = None
+    CURRENT: Optional["Logger"] = None
+
+    def __init__(self, dir: Optional[str], output_formats: List[KVWriter]):
+        self.name2val: Dict[str, float] = defaultdict(float)
+        self.name2cnt: Dict[str, int] = defaultdict(int)
+        self.level = INFO
+        self.dir = dir
+        self.output_formats = output_formats
+
+    def logkv(self, key, val):
+        self.name2val[key] = val
+
+    def logkv_mean(self, key, val):
+        oldval, cnt = self.name2val[key], self.name2cnt[key]
+        self.name2val[key] = oldval * cnt / (cnt + 1) + val / (cnt + 1)
+        self.name2cnt[key] = cnt + 1
+
+    def dumpkvs(self):
+        if self.level == DISABLED:
+            return {}
+        out = self.name2val.copy()
+        for fmt in self.output_formats:
+            if isinstance(fmt, KVWriter):
+                fmt.writekvs(self.name2val)
+        self.name2val.clear()
+        self.name2cnt.clear()
+        return out
+
+    def log(self, *args, level=INFO):
+        if self.level <= level:
+            for fmt in self.output_formats:
+                if isinstance(fmt, SeqWriter):
+                    fmt.writeseq(map(str, args))
+
+    def set_level(self, level):
+        self.level = level
+
+    def get_dir(self):
+        return self.dir
+
+    def close(self):
+        for fmt in self.output_formats:
+            fmt.close()
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def configure(
+    dir: Optional[str] = None,
+    format_strs: Optional[List[str]] = None,
+    log_suffix: str = "",
+):
+    """(reference logger.py:442-471); DDPM_LOG_FORMAT mirrors
+    OPENAI_LOG_FORMAT (either env var is honored)."""
+    if dir is None:
+        dir = os.getenv("DDPM_LOGDIR") or os.getenv("OPENAI_LOGDIR")
+    if dir is None:
+        dir = osp.join(
+            tempfile.gettempdir(),
+            datetime.datetime.now().strftime("ddpm3d-%Y-%m-%d-%H-%M-%S-%f"),
+        )
+    assert isinstance(dir, str)
+    os.makedirs(dir, exist_ok=True)
+
+    rank = _process_index()
+    if format_strs is None:
+        if rank == 0:
+            format_strs = (
+                os.getenv("DDPM_LOG_FORMAT")
+                or os.getenv("OPENAI_LOG_FORMAT")
+                or "stdout,log,csv"
+            ).split(",")
+        else:
+            format_strs = (
+                os.getenv("DDPM_LOG_FORMAT_MPI")
+                or os.getenv("OPENAI_LOG_FORMAT_MPI")
+                or "log"
+            ).split(",")
+            log_suffix = log_suffix or f"-rank{rank:03d}"
+    format_strs = [f for f in format_strs if f]
+    output_formats = [make_output_format(f, dir, log_suffix) for f in format_strs]
+
+    Logger.CURRENT = Logger(dir=dir, output_formats=output_formats)
+    if output_formats:
+        log(f"Logging to {dir}")
+
+
+def _ensure_configured() -> Logger:
+    if Logger.CURRENT is None:
+        configure(format_strs=["stdout"])
+        Logger.DEFAULT = Logger.CURRENT
+    return Logger.CURRENT
+
+
+def logkv(key, val):
+    _ensure_configured().logkv(key, val)
+
+
+def logkv_mean(key, val):
+    _ensure_configured().logkv_mean(key, val)
+
+
+def logkvs(d):
+    for k, v in d.items():
+        logkv(k, v)
+
+
+def dumpkvs():
+    return _ensure_configured().dumpkvs()
+
+
+def getkvs():
+    return _ensure_configured().name2val
+
+
+def log(*args, level=INFO):
+    _ensure_configured().log(*args, level=level)
+
+
+def debug(*args):
+    log(*args, level=DEBUG)
+
+
+def info(*args):
+    log(*args, level=INFO)
+
+
+def warn(*args):
+    log(*args, level=WARN)
+
+
+def error(*args):
+    log(*args, level=ERROR)
+
+
+def set_level(level):
+    _ensure_configured().set_level(level)
+
+
+def get_dir():
+    return _ensure_configured().get_dir()
+
+
+record_tabular = logkv
+dump_tabular = dumpkvs
+
+
+@contextlib.contextmanager
+def profile_kv(scopename: str):
+    """Accumulate wall time under ``wait_<scope>`` (reference
+    logger.py:293-305)."""
+    logkey = "wait_" + scopename
+    tstart = time.time()
+    try:
+        yield
+    finally:
+        _ensure_configured().name2val[logkey] += time.time() - tstart
+
+
+def profile(n: str):
+    """Decorator form (reference logger.py:308-317)."""
+
+    def decorator_with_name(func):
+        @functools.wraps(func)
+        def func_wrapper(*args, **kwargs):
+            with profile_kv(n):
+                return func(*args, **kwargs)
+
+        return func_wrapper
+
+    return decorator_with_name

@@ -1,0 +1,113 @@
+"""Whole-volume denoising (inference).
+
+CLI-compatible rebuild of reference scripts/test.py: same flags (plus
+``--num_samples``/``--eta`` which the reference's active script forgot to
+define — SURVEY.md §5.6), same patch grid, Hann blending, output fidelity
+(.npz of the (H,W,Z) volume + .tif of (Z,H,W)). The per-rank MPI loop +
+all_gather is replaced by one sharded batched sampling chain.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+from ddpm3d_tpu.models.factory import sr_create_model_and_diffusion
+from ddpm3d_tpu.parallel import make_mesh, maybe_initialize_distributed
+from ddpm3d_tpu.utils import checkpoint as ckpt
+from ddpm3d_tpu.utils import logger
+from ddpm3d_tpu.utils.config import (
+    add_dict_to_argparser,
+    args_to_dict,
+    sr_model_and_diffusion_defaults,
+)
+
+
+def main():
+    args = create_argparser().parse_args()
+
+    maybe_initialize_distributed()
+    logger.configure(args.save_dir or None)
+
+    import jax
+
+    from ddpm3d_tpu.inference import (
+        denoise_volume,
+        load_volume_for_denoising,
+        save_outputs,
+    )
+
+    logger.log("creating model...")
+    model, sched, cfg = sr_create_model_and_diffusion(
+        **args_to_dict(args, sr_model_and_diffusion_defaults().keys())
+    )
+
+    logger.log(f"loading checkpoint {args.model_path}...")
+    # init to get the target tree, then restore (.pt or .msgpack)
+    x0 = np.zeros((1, 8, 16, 16, 1), np.float32)
+    variables = model.init(
+        jax.random.key(0), x0, np.zeros((1,), np.int32), low_res=x0
+    )
+    if args.model_path:
+        params = ckpt.load_pytree(args.model_path, target=variables["params"])
+    else:
+        logger.log("WARNING: no --model_path given; using random init")
+        params = variables["params"]
+
+    logger.log("loading data...")
+    vol = load_volume_for_denoising(args.base_samples)
+    logger.log(
+        "Using original data without normalization - "
+        f"min: {vol.min():.4f}, max: {vol.max():.4f}, std: {vol.std():.4f}"
+    )
+
+    # Fixed seed parity with the reference (scripts/test.py:44-49) via an
+    # explicit PRNG key.
+    key = jax.random.key(args.seed)
+    logger.log(f"Fixed seed set to {args.seed}")
+
+    logger.log("creating samples...")
+    result, stats = denoise_volume(
+        key,
+        model.apply,
+        params,
+        sched,
+        cfg,
+        vol,
+        patch_size=args.large_size,
+        use_ddim=args.use_ddim,
+        eta=args.eta,
+        clip_denoised=args.clip_denoised,
+        mesh=make_mesh(),
+        per_device_batch=args.batch_size,
+    )
+
+    save_outputs(logger.get_dir(), args.base_samples, result)
+    logger.log("Full image denoising complete")
+
+
+def create_argparser():
+    """(reference scripts/test.py:264-278, + num_samples/eta/seed)"""
+    defaults = dict(
+        save_dir="",
+        clip_denoised=True,
+        batch_size=1,
+        num_samples=6,
+        use_ddim=False,
+        eta=0.0,
+        timestep_respacing="",
+        base_samples="",
+        model_path="",
+        seed=10,
+    )
+    defaults.update(sr_model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: shardings, the driver's
+dryrun contract, and the sharded inference pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm3d_tpu.parallel import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    data_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(n_spatial=2)
+    assert m2.devices.shape == (4, 2)
+    assert m2.axis_names == (DATA_AXIS, SPATIAL_AXIS)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec(DATA_AXIS)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    xr = replicate(mesh, x)
+    np.testing.assert_array_equal(np.asarray(xr), x)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(18, 8) == 24
+    assert pad_to_multiple(16, 8) == 16
+    assert pad_to_multiple(1, 8) == 8
+
+
+def test_sharded_grad_matches_single_device():
+    """A data-parallel mean-loss grad over the mesh must equal the
+    single-device grad (the DDP-allreduce equivalence)."""
+    mesh = make_mesh()
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4)), jnp.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g_single = jax.grad(loss)(w, x)
+    xs = shard_batch(mesh, x)
+    wr = replicate(mesh, w)
+    g_sharded = jax.jit(jax.grad(loss))(wr, xs)
+    np.testing.assert_allclose(
+        np.asarray(g_single), np.asarray(g_sharded), rtol=1e-5
+    )
+
+
+def test_dryrun_multichip_contract():
+    """The driver calls __graft_entry__.dryrun_multichip(n) on a virtual
+    mesh; it must compile and run one full sharded train step."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    # tiny-model path of the same contract: jit the returned fn on the
+    # example args' shapes via eval_shape (full flagship compile is bench's
+    # job, not a CPU unit test's)
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (1, 64, 64, 64, 2)
+
+
+def test_denoise_patches_sharded(tmp_path):
+    """Sharded inference pipeline: 5 patches over 8 devices (padding to 8),
+    tiny model, 4-step chain."""
+    from ddpm3d_tpu.diffusion import (
+        DiffusionConfig, LossType, MeanType, VarType, make_schedule,
+    )
+    from ddpm3d_tpu.inference import denoise_patches
+    from ddpm3d_tpu.models import SuperResModel
+
+    model = SuperResModel(
+        in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False,
+    )
+    sched = make_schedule(np.linspace(1e-4, 0.02, 4))
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=4,
+    )
+    P, Z, X, Y = 5, 4, 16, 16
+    low = np.random.default_rng(0).normal(size=(P, Z, X, Y)).astype(np.float32)
+    x0 = jnp.zeros((1, Z, X, Y, 1))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,), jnp.int32), low_res=x0
+    )["params"]
+
+    mesh = make_mesh()
+    out = denoise_patches(
+        jax.random.key(1), model.apply, params, sched, cfg, low, mesh=mesh
+    )
+    assert out.shape == (P, Z, X, Y)
+    assert np.isfinite(out).all()
