@@ -28,6 +28,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from ddpm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ddpm3d_tpu.diffusion import (
         DiffusionConfig, LossType, MeanType, VarType,
         linear_beta_schedule, make_schedule, make_spaced_schedule,
@@ -47,7 +51,7 @@ def main():
             channel_mult=(1, 1, 2, 3, 4), dims=3, use_scale_shift_norm=True,
             resblock_updown=True, middle_attention=False, dtype=jnp.bfloat16,
         )
-        steps_measured = int(os.environ.get("BENCH_STEPS", "50"))
+        steps_measured = int(os.environ.get("BENCH_STEPS", "25"))
     else:
         patch = 32
         batch = 1
@@ -75,9 +79,19 @@ def main():
     low = jnp.zeros(shape, jnp.float32)
     x = jnp.zeros(shape, jnp.float32)
     t0 = jnp.zeros((batch,), jnp.int32)
-    params = model.init(jax.random.key(1), x, t0, low_res=low)
+    # init on CPU at minimal spatial size (params are spatial-size-invariant;
+    # eager init on TPU compiles each op separately through the remote
+    # compile service, and CPU init at 96^3 is compute-infeasible).
+    with jax.default_device(jax.devices("cpu")[0]):
+        xi = jnp.zeros((1, 2, 16, 16, 1), jnp.float32)
+        params = model.init(
+            jax.random.key(1), xi, jnp.zeros((1,), jnp.int32), low_res=xi
+        )
+    params = jax.device_put(params, jax.devices()[0])
 
-    def run(key, low):
+    def run(params, key, low):
+        # params must be an ARGUMENT: closing over them would bake all
+        # weights into the HLO as constants (a ~1 GB program).
         model_fn = lambda xx, tt, **kw: model.apply(params, xx, tt, **kw)
         return p_sample_loop(
             key, model_fn, sched, cfg, shape=shape,
@@ -85,13 +99,14 @@ def main():
         )
 
     jitted = jax.jit(run)
-    # warm-up / compile
-    jax.block_until_ready(jitted(key, low))
+    # warm-up / compile; force full materialization through a host readback
+    # (block_until_ready alone can return early through the TPU relay)
+    float(jnp.sum(jitted(params, key, low)))
     reps = 3 if on_tpu else 1
     t0_ = time.perf_counter()
     for i in range(reps):
-        out = jitted(jax.random.fold_in(key, i), low)
-    jax.block_until_ready(out)
+        out = jitted(params, jax.random.fold_in(key, i), low)
+        float(jnp.sum(out))
     elapsed = (time.perf_counter() - t0_) / reps
 
     per_step = elapsed / steps_measured

@@ -9,6 +9,7 @@ from .dataset import (
     prefetch,
 )
 from .patches import (
+    blend_patches_count,
     blend_patches_hann,
     extract_patches_zxy,
     hann_window_3d,

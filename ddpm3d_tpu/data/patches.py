@@ -139,3 +139,29 @@ def blend_patches_hann(
         acc[x0:xe, y0:ye, z0:ze] += p * w
         weight[x0:xe, y0:ye, z0:ze] += w
     return np.divide(acc, weight, out=np.zeros_like(acc), where=weight > 0)
+
+
+def blend_patches_count(
+    patches_xyz: np.ndarray,
+    grid: Sequence[Tuple[int, int, int]],
+    out_shape_xyz: Tuple[int, int, int],
+    patch_size: int,
+) -> Tuple[np.ndarray, int]:
+    """Plain count-based averaging of overlapping patches — the backup
+    script's reconstruction (reference scripts/test_backup.py:118-167).
+
+    Returns (blended volume, number of voxels covered by no patch) — the
+    backup script warns on uncovered voxels (test_backup.py:161-163).
+    """
+    X, Y, Z = out_shape_xyz
+    acc = np.zeros(out_shape_xyz, np.float32)
+    count = np.zeros(out_shape_xyz, np.float32)
+    for patch, (x0, y0, z0) in zip(patches_xyz, grid):
+        xe = min(x0 + patch_size, X)
+        ye = min(y0 + patch_size, Y)
+        ze = min(z0 + patch_size, Z)
+        acc[x0:xe, y0:ye, z0:ze] += patch[: xe - x0, : ye - y0, : ze - z0]
+        count[x0:xe, y0:ye, z0:ze] += 1.0
+    uncovered = int((count == 0).sum())
+    out = np.divide(acc, count, out=np.zeros_like(acc), where=count > 0)
+    return out, uncovered

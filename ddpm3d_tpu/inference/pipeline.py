@@ -35,6 +35,7 @@ from ..diffusion import (
 )
 from ..data import tiff_io
 from ..data.patches import (
+    blend_patches_count,
     blend_patches_hann,
     extract_patches_zxy,
     patch_grid,
@@ -103,7 +104,9 @@ def denoise_patches(
     per_device_batch = per_device_batch or 1
     chunk = n_data * per_device_batch
 
-    def sample_chunk(chunk_key, low_chunk, noise_chunk):
+    def sample_chunk(params, chunk_key, low_chunk, noise_chunk):
+        # params are an ARGUMENT, not a closure: closed-over weights would
+        # be baked into the HLO as constants (gigabyte-scale programs).
         model_fn = lambda x, t, **kw: model_apply({"params": params}, x, t, **kw)
         kwargs = {"low_res": low_chunk}
         loop = ddim_sample_loop if use_ddim else p_sample_loop
@@ -144,7 +147,7 @@ def denoise_patches(
                 chunk_key, low_chunk.shape, dtype=jnp.float32
             )
             noise_chunk = jax.device_put(noise_chunk, sharding)
-        out = jitted(chunk_key, low_chunk, noise_chunk)
+        out = jitted(params, chunk_key, low_chunk, noise_chunk)
         outs.append(np.asarray(jax.device_get(out))[..., 0])
         if progress_cb is not None:
             progress_cb(min(start + chunk, P), P)
@@ -166,13 +169,22 @@ def denoise_volume(
     clip_denoised: bool = True,
     mesh=None,
     per_device_batch: Optional[int] = None,
+    blend: str = "hann",
+    normalize_div4: bool = False,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Denoise a whole (Z, H, W) volume; returns ((H, W, Z) result, stats).
 
     Mirrors scripts/test.py end-to-end: fixed patch grid, full reverse
     chain per patch, 3-D Hann blending, noise-reduction stats.
+
+    ``blend="count"`` selects the backup script's plain count averaging
+    (test_backup.py:118-167); ``normalize_div4`` applies the backup
+    script's clip-at-4-then-/4 input normalization (test_backup.py:266-267)
+    and rescales the output back by 4.
     """
     Z, H, W = volume_zxy.shape
+    if normalize_div4:
+        volume_zxy = np.clip(volume_zxy, None, 4.0) / 4.0
     xs = test_xy_starts(H, patch_size, num_xy_patches)
     ys = test_xy_starts(W, patch_size, num_xy_patches)
     zs = test_z_starts(Z, patch_size)
@@ -193,7 +205,16 @@ def denoise_volume(
 
     # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
     patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
-    result = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
+    if blend == "count":
+        result, uncovered = blend_patches_count(
+            patches_xyz, grid, (H, W, Z), patch_size
+        )
+        if uncovered:
+            logger.log(f"WARNING: {uncovered} voxels covered by no patch")
+    else:
+        result = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
+    if normalize_div4:
+        result = result * 4.0
 
     original_std = float(volume_zxy.std())
     denoised_std = float(result.std())

@@ -21,3 +21,4 @@ from .unet import (
     UNetModel,
     Upsample,
 )
+from .seg import SegUNetModel

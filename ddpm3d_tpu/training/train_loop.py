@@ -295,12 +295,23 @@ class TrainLoop:
 
     def _init_state(self, example_batch, example_cond):
         init_key, self.key = jax.random.split(self.key)
-        xb = jnp.asarray(example_batch[:1])
-        cb = {k: jnp.asarray(v[:1]) for k, v in example_cond.items()}
-        t0 = jnp.zeros((1,), jnp.int32)
-        variables = self.model.init(
-            {"params": init_key, "dropout": init_key}, xb, t0, **cb
-        )
+        # init on CPU at minimal spatial size: params are spatial-size
+        # invariant, eager init on the accelerator compiles each op
+        # separately (very slow via remote compile), and full-resolution CPU
+        # init is compute-bound. The replicate() below moves params to the
+        # mesh.
+        levels = len(getattr(self.model, "channel_mult", (1, 2)))
+        hw = max(16, 2 ** (levels - 1))
+        with jax.default_device(jax.devices("cpu")[0]):
+            small = lambda a: jnp.zeros((1, 2, hw, hw, a.shape[-1]), a.dtype)
+            xb = small(jnp.asarray(example_batch[:1]))
+            cb = {
+                k: small(jnp.asarray(v[:1])) for k, v in example_cond.items()
+            }
+            t0 = jnp.zeros((1,), jnp.int32)
+            variables = self.model.init(
+                {"params": init_key, "dropout": init_key}, xb, t0, **cb
+            )
         params = variables["params"]
 
         if self.resume_checkpoint:

@@ -46,11 +46,13 @@ def main():
     )
 
     logger.log(f"loading checkpoint {args.model_path}...")
-    # init to get the target tree, then restore (.pt or .msgpack)
+    # init on CPU to get the target tree (eager init on TPU would compile
+    # every op separately through the remote-compile service)
     x0 = np.zeros((1, 8, 16, 16, 1), np.float32)
-    variables = model.init(
-        jax.random.key(0), x0, np.zeros((1,), np.int32), low_res=x0
-    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(
+            jax.random.key(0), x0, np.zeros((1,), np.int32), low_res=x0
+        )
     if args.model_path:
         params = ckpt.load_pytree(args.model_path, target=variables["params"])
     else:
@@ -83,6 +85,8 @@ def main():
         clip_denoised=args.clip_denoised,
         mesh=make_mesh(),
         per_device_batch=args.batch_size,
+        blend=args.blend,
+        normalize_div4=args.normalize_div4,
     )
 
     save_outputs(logger.get_dir(), args.base_samples, result)
@@ -102,6 +106,9 @@ def create_argparser():
         base_samples="",
         model_path="",
         seed=10,
+        # backup-script variants (reference scripts/test_backup.py):
+        blend="hann",          # hann | count (tb:118-167)
+        normalize_div4=False,  # clip@4 then /4 input scaling (tb:266-267)
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -129,6 +129,23 @@ def test_blend_constant_patches_reconstructs_constant():
     assert (out[w == 0] == 0).all()
 
 
+def test_blend_count_matches_average_and_reports_uncovered():
+    from ddpm3d_tpu.data import blend_patches_count
+
+    ps = 8
+    grid = [(0, 0, 0), (4, 0, 0)]
+    patches = np.stack([
+        np.full((ps, ps, ps), 2.0, np.float32),
+        np.full((ps, ps, ps), 4.0, np.float32),
+    ])
+    out, uncovered = blend_patches_count(patches, grid, (16, 8, 8), ps)
+    np.testing.assert_allclose(out[:4], 2.0)     # only patch 1
+    np.testing.assert_allclose(out[4:8], 3.0)    # overlap: mean(2,4)
+    np.testing.assert_allclose(out[8:12], 4.0)   # only patch 2
+    np.testing.assert_allclose(out[12:], 0.0)    # uncovered
+    assert uncovered == 4 * 8 * 8
+
+
 def _write_synthetic(tmp_path, n=2, shape=(100, 200, 200)):
     rng = np.random.default_rng(0)
     paths = []

@@ -1,0 +1,80 @@
+"""Profile 3-D convolution strategies on the TPU.
+
+Compares:
+ a) native lax conv3d (NDHWC x DHWIO)
+ b) depth-decomposed: sum over kd of a 2-D conv with (B*D) as batch
+ c) native conv3d in bf16 vs f32
+
+Run: python tools/profile_conv.py [size] [channels]
+"""
+
+import os
+import sys
+import time
+
+sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def conv3d_native(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def conv3d_decomposed(x, w):
+    """y[:, d] = sum_kd conv2d(x[:, d+kd-1], w[kd]) with zero depth pads."""
+    B, D, H, W, C = x.shape
+    kd = w.shape[0]
+    pad = kd // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for k in range(kd):
+        xs = xp[:, k : k + D].reshape(B * D, H, W, C)
+        y = jax.lax.conv_general_dilated(
+            xs, w[k], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = y if out is None else out + y
+    return out.reshape(B, D, H, W, -1)
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    float(jnp.sum(out))  # compile + materialize
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        float(jnp.sum(out))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    C = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    rng = np.random.default_rng(0)
+
+    for dtype, name in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
+        x = jnp.asarray(rng.normal(size=(1, size, size, size, C)), dtype)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)) * 0.01, dtype)
+        flops = 2 * 27 * C * C * size ** 3
+        t_nat = timeit(jax.jit(conv3d_native), x, w)
+        t_dec = timeit(jax.jit(conv3d_decomposed), x, w)
+        print(
+            f"[{name} {size}^3 C={C}] native: {t_nat*1000:.1f} ms "
+            f"({flops/t_nat/1e12:.1f} TF/s) | decomposed: {t_dec*1000:.1f} ms "
+            f"({flops/t_dec/1e12:.1f} TF/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
