@@ -98,22 +98,51 @@ def conv_nd(
     features: int,
     kernel_size: int,
     stride=1,
-    padding="SAME",
+    padding=None,
     use_bias: bool = True,
     zero_init: bool = False,
     dtype=None,
     name: Optional[str] = None,
 ) -> fnn.Conv:
     """N-D convolution (channels-last). ``zero_init`` gives the reference's
-    zero_module behavior for output heads (nn.py:68-74)."""
+    zero_module behavior for output heads (nn.py:68-74).
+
+    Padding defaults to explicit symmetric k//2 per spatial dim — torch's
+    ``padding=k//2`` semantics. This matters for strided convs: XLA "SAME"
+    pads (0,1) for stride 2 on even extents, shifting the sampling grid off
+    the reference's (unet.py:129-133 uses padding=1)."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size,) * dims
     if isinstance(stride, int):
         stride = (stride,) * dims
+    if padding is None:
+        padding = tuple((k // 2, k // 2) for k in kernel_size)
     kernel_init = (
         fnn.initializers.zeros if zero_init else default_conv_init()
     )
     bias_init = fnn.initializers.zeros
+    if (
+        dims == 3
+        and max(kernel_size) > 1
+        and stride[0] == 1
+        and _conv3d_decomposed_enabled()
+    ):
+        # Depth-decomposed lowering: ~1.3x faster on the TPU MXU than the
+        # native 3-D conv at this model's shapes (see ops/conv3d.py).
+        from ..ops.conv3d import Conv3D
+
+        return Conv3D(
+            features=features,
+            kernel_size=tuple(kernel_size),
+            strides=tuple(stride),
+            padding=tuple(padding),
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
     return fnn.Conv(
         features=features,
         kernel_size=tuple(kernel_size),
@@ -126,6 +155,22 @@ def conv_nd(
         param_dtype=jnp.float32,
         name=name,
     )
+
+
+def _conv3d_decomposed_enabled() -> bool:
+    """Conv3D lowering policy: env DDPM3D_CONV3D in {auto, decomposed,
+    native}; auto enables the decomposed path on TPU backends."""
+    import os
+
+    mode = os.environ.get("DDPM3D_CONV3D", "auto").lower()
+    if mode == "decomposed":
+        return True
+    if mode == "native":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def default_conv_init() -> Callable:

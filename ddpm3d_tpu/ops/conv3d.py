@@ -1,0 +1,96 @@
+"""Depth-decomposed 3-D convolution for the TPU MXU.
+
+XLA:TPU lowers a native 3-D convolution at ~40% MXU utilisation at this
+model's shapes; rewriting it as a sum over the depth taps of 2-D
+convolutions with (B*D) folded into the batch reaches ~53% (measured on
+v5e: 78 -> 104 TF/s at 96^3 x 128ch). Identity-equal math: for SAME depth
+padding and depth stride 1 (the anisotropic pyramid never strides depth,
+reference unet.py:129),
+
+    y[:, d] = sum_kd conv2d(x[:, d + kd - pad], w[kd])
+
+The parameter layout is identical to a native conv ((kd, kh, kw, in, out)),
+so checkpoints are interchangeable between implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+
+def conv3d_decomposed(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int] = (1, 1, 1),
+    padding: Optional[Sequence[Tuple[int, int]]] = None,
+    preferred_dtype=None,
+) -> jnp.ndarray:
+    """NDHWC x DHWIO 3-D conv via kd-many 2-D convs. Depth stride must be 1."""
+    B, D, H, W, C = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    sd, sh, sw = strides
+    assert sd == 1, "depth stride must be 1 (anisotropic pyramid)"
+    if padding is None:
+        padding = ((kd // 2, kd // 2), (kh // 2, kh // 2), (kw // 2, kw // 2))
+    (pd_lo, pd_hi), pad_h, pad_w = padding
+
+    xp = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
+    D_out = xp.shape[1] - kd + 1
+    out = None
+    for k in range(kd):
+        xs = xp[:, k : k + D_out].reshape(B * D_out, H, W, C)
+        y = jax.lax.conv_general_dilated(
+            xs,
+            kernel[k],
+            window_strides=(sh, sw),
+            padding=(pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred_dtype,
+        )
+        out = y if out is None else out + y
+    Ho, Wo = out.shape[1], out.shape[2]
+    return out.reshape(B, D_out, Ho, Wo, -1)
+
+
+class Conv3D(fnn.Module):
+    """Drop-in 3-D conv module with the decomposed TPU lowering.
+
+    Same param names/shapes as ``flax.linen.Conv`` with a (kd,kh,kw) kernel,
+    so state dicts interoperate with the native path and the torch importer.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Optional[Sequence[Tuple[int, int]]] = None
+    use_bias: bool = True
+    kernel_init: Any = fnn.initializers.lecun_normal()
+    bias_init: Any = fnn.initializers.zeros
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kd, kh, kw = self.kernel_size
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kd, kh, kw, C, self.features),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        y = conv3d_decomposed(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            strides=self.strides,
+            padding=self.padding,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(y.dtype)
+        return y

@@ -121,6 +121,19 @@ def test_encoder_unet_feature_taps():
     assert feats[-1].shape == (1, 4, 4, 4, 64)
 
 
+def _randomize_torch_weights(tm, seed=0):
+    """Fill ALL weights (incl. the reference's zero-init output convs) with
+    noise. Without this, both models output exactly 0 at init (the final
+    head conv is zero_module'd, unet.py:665-669) and a forward comparison
+    is vacuous."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+
 @pytest.mark.parametrize("new_order", [False, True])
 def test_torch_parity_superres_noatt(new_order):
     """Import reference torch weights into the Flax model and compare full
@@ -143,6 +156,7 @@ def test_torch_parity_superres_noatt(new_order):
         resblock_updown=True,
         use_new_attention_order=new_order,
     )
+    _randomize_torch_weights(tm, seed=1)
     tm.eval()
 
     from ddpm3d_tpu.utils.torch_import import torch_state_dict_to_params
@@ -170,6 +184,8 @@ def test_torch_parity_superres_noatt(new_order):
         low_res=jnp.moveaxis(jnp.asarray(low), 1, -1),
     )
     ours_nchw = np.moveaxis(np.asarray(ours), -1, 1)
+    # guard against the all-zeros trap: the outputs must be nontrivial
+    assert np.abs(ref_out).max() > 1e-3
     np.testing.assert_allclose(ours_nchw, ref_out, rtol=1e-4, atol=1e-5)
 
 
@@ -194,6 +210,7 @@ def test_torch_parity_with_attention():
         use_scale_shift_norm=True,
         resblock_updown=False,
     )
+    _randomize_torch_weights(tm, seed=2)
     tm.eval()
 
     from ddpm3d_tpu.utils.torch_import import torch_state_dict_to_params
@@ -217,6 +234,7 @@ def test_torch_parity_with_attention():
     with torch.no_grad():
         ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
     ours = jm.apply(params, jnp.moveaxis(jnp.asarray(x), 1, -1), jnp.asarray(t))
+    assert np.abs(ref_out).max() > 1e-3
     np.testing.assert_allclose(
-        np.moveaxis(np.asarray(ours), -1, 1), ref_out, rtol=1e-4, atol=1e-5
+        np.moveaxis(np.asarray(ours), -1, 1), ref_out, rtol=1e-4, atol=1e-4
     )
