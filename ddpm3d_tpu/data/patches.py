@@ -90,6 +90,15 @@ def extract_patches_zxy(
     """Cut (Z, X, Y)-indexed patches, zero-padding at the high ends to a full
     ``patch_size^3`` cube (reference scripts/test.py:213-230). Returns
     [P, Z, X, Y] float32."""
+    from .. import native
+
+    if native.available():
+        out = native.extract_patches(
+            np.asarray(vol_zxy, np.float32), list(grid), patch_size
+        )
+        if out is not None:
+            return out
+
     Z, X, Y = vol_zxy.shape
     out = np.zeros((len(grid), patch_size, patch_size, patch_size), np.float32)
     for i, (x0, y0, z0) in enumerate(grid):
@@ -126,6 +135,17 @@ def blend_patches_hann(
     """
     if window is None:
         window = hann_window_3d(patch_size)
+
+    from .. import native
+
+    if native.available():
+        out = native.blend_hann(
+            np.asarray(patches_xyz, np.float32), list(grid),
+            tuple(out_shape_xyz), patch_size, window,
+        )
+        if out is not None:
+            return out
+
     X, Y, Z = out_shape_xyz
     acc = np.zeros(out_shape_xyz, np.float32)
     weight = np.zeros(out_shape_xyz, np.float32)

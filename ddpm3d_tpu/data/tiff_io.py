@@ -58,7 +58,15 @@ def imwrite(path: str, volume: np.ndarray) -> None:
 
 def imread(path: str) -> np.ndarray:
     """Read a TIFF written by :func:`imwrite` (or any simple uncompressed
-    grayscale TIFF). Returns (H,W), (D,H,W) or (C,D,H,W)."""
+    grayscale TIFF). Returns (H,W), (D,H,W) or (C,D,H,W).
+
+    Prefers the native C++ reader (ddpm3d_tpu.native), then tifffile, then
+    the pure-Python parser."""
+    from .. import native
+
+    out = native.tiff_read(path) if native.available() else None
+    if out is not None:
+        return out
     if _tifffile is not None:
         return np.asarray(_tifffile.imread(path))
     return _imread_builtin(path)
