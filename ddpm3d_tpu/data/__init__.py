@@ -3,6 +3,7 @@
 from . import tiff_io
 from .dataset import (
     PatchDataset,
+    WholeVolumeDataset,
     list_image_files_recursively,
     load_data,
     load_volume_pair,

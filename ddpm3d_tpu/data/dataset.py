@@ -143,6 +143,31 @@ class PatchDataset:
         return cut(high), {"low_res": cut(low)}
 
 
+class WholeVolumeDataset:
+    """Whole-volume (no patching) dataset — the reference's
+    CustomImageDataset (image_datasets.py:93-130): each item is the full
+    volume with the conditioner cloned into model kwargs."""
+
+    def __init__(
+        self,
+        image_paths: Sequence[str],
+        shard: int = 0,
+        num_shards: int = 1,
+        normalize_divisor: float = 1.0,
+    ):
+        self.local_paths = list(image_paths)[shard::num_shards]
+        self.normalize_divisor = normalize_divisor
+
+    def __len__(self) -> int:
+        return len(self.local_paths)
+
+    def __getitem__(self, idx: int):
+        low, high = load_volume_pair(self.local_paths[idx])
+        low = low / self.normalize_divisor
+        high = high / self.normalize_divisor
+        return high[..., None], {"low_res": low[..., None]}
+
+
 def load_data(
     *,
     data_dir: str,

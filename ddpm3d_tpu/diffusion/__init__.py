@@ -42,4 +42,5 @@ from .sampling import (
     ddim_sample_loop,
     p_sample,
     p_sample_loop,
+    p_sample_loop_progressive,
 )

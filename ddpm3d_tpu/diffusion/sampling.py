@@ -173,6 +173,44 @@ def p_sample_loop(
     return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
 
 
+def p_sample_loop_progressive(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    shape=None,
+    noise: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+):
+    """Host-driven generator yielding each reverse step's output dict —
+    the reference's progressive API (gd.py:487-535) for visualization and
+    step-wise inspection. The step function is jitted once; prefer
+    :func:`p_sample_loop` (single fused scan) for production sampling."""
+    if noise is None:
+        assert shape is not None, "provide shape or noise"
+        key, init_key = jax.random.split(key)
+        noise = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+    B = noise.shape[0]
+
+    @jax.jit
+    def step(img, t_scalar, step_key):
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        return p_sample(
+            step_key, model_fn, sched, cfg, img, t,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, model_kwargs=model_kwargs,
+        )
+
+    img = noise
+    for i in range(sched.num_timesteps - 1, -1, -1):
+        out = step(img, jnp.asarray(i), jax.random.fold_in(key, i))
+        yield out
+        img = out["sample"]
+
+
 def ddim_sample_loop(
     key: jax.Array,
     model_fn,

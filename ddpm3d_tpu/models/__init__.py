@@ -21,4 +21,10 @@ from .unet import (
     UNetModel,
     Upsample,
 )
-from .seg import SegUNetModel
+from .seg import (
+    SegModel_3d_noatt_midcat,
+    SegModelv2,
+    SegModelv2_3d_noatt,
+    SegModelv3,
+    SegUNetModel,
+)

@@ -155,3 +155,28 @@ class SegUNetModel(fnn.Module):
         return prim.conv_nd(
             self.dims, plan.out_channels, 3, zero_init=True, name="head_conv"
         )(h)
+
+
+def SegModelv2(**kw):
+    """Additive fusion, conditioner concat (reference unet.py:1698-1745)."""
+    return SegUNetModel(fusion="add", **kw)
+
+
+def SegModelv2_3d_noatt(**kw):
+    """3-D additive fusion without middle attention (unet.py:1806-1856)."""
+    kw.setdefault("dims", 3)
+    kw.setdefault("middle_attention", False)
+    return SegUNetModel(fusion="add", **kw)
+
+
+def SegModelv3(**kw):
+    """Concat + 1x1-conv fusion (reference SegModelv3_6c, unet.py:1913-1981)."""
+    return SegUNetModel(fusion="cat_conv", **kw)
+
+
+def SegModel_3d_noatt_midcat(**kw):
+    """Middle-concat fusion of the encoder's final feature
+    (reference unet.py:1859-1910 + UNetModel_noatt_midcat)."""
+    kw.setdefault("dims", 3)
+    kw.setdefault("middle_attention", False)
+    return SegUNetModel(fusion="midcat", **kw)

@@ -374,3 +374,57 @@ def profile(n: str):
         return func_wrapper
 
     return decorator_with_name
+
+
+def gather_weighted_means(local_kvs: Dict[str, float],
+                          local_counts: Optional[Dict[str, int]] = None
+                          ) -> Dict[str, float]:
+    """Cross-process weighted mean of kv dicts — the reference's
+    ``mpi_weighted_mean`` (logger.py:412-439), rebuilt on JAX multihost
+    collectives instead of ``comm.gather``.
+
+    Under single-controller JAX most train metrics are already global
+    (computed from sharded arrays), so this is only needed for host-local
+    quantities (IO timings, per-host counters). Identity when running a
+    single process.
+    """
+    try:
+        import jax
+
+        nproc = jax.process_count()
+    except Exception:
+        nproc = 1
+    if nproc == 1:
+        return dict(local_kvs)
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(local_kvs)
+    counts = local_counts or {k: 1 for k in keys}
+    vals = np.array(
+        [[local_kvs[k] * counts.get(k, 1) for k in keys],
+         [counts.get(k, 1) for k in keys]],
+        dtype=np.float64,
+    )
+    gathered = multihost_utils.process_allgather(vals)  # [P, 2, K]
+    sums = gathered[:, 0, :].sum(axis=0)
+    cnts = gathered[:, 1, :].sum(axis=0)
+    return {k: float(s / max(c, 1e-12)) for k, s, c in zip(keys, sums, cnts)}
+
+
+def start_trace(logdir: Optional[str] = None):
+    """Start a jax.profiler trace (the TPU-native analog of the reference's
+    profile_kv wall-time scopes, SURVEY.md §5.1). View in TensorBoard or
+    xprof."""
+    import jax
+
+    logdir = logdir or osp.join(get_dir() or tempfile.gettempdir(), "trace")
+    jax.profiler.start_trace(logdir)
+    return logdir
+
+
+def stop_trace():
+    import jax
+
+    jax.profiler.stop_trace()

@@ -26,6 +26,11 @@ def main():
     from guided_diffusion.respace import SpacedDiffusion, space_timesteps as r_space
 
     import jax
+
+    # the environment presets JAX_PLATFORMS=axon and pre-imports jax via a
+    # sitecustomize, so the env var above can be too late — force CPU here
+    jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     from ddpm3d_tpu.diffusion import (
         DiffusionConfig, LossType, MeanType, VarType,
@@ -142,6 +147,56 @@ def main():
     )
     for k in ["mse", "vb", "loss"]:
         check(f"training_losses[{k}]", np.asarray(j_terms[k]), r_terms[k].numpy(), 2e-3)
+
+    print("== full-model DDIM chain parity (imported weights, matched noise) ==")
+    import torch as th2
+    from guided_diffusion.unet import SuperResModel_noatt
+    from ddpm3d_tpu.models import SuperResModel
+    from ddpm3d_tpu.utils.torch_import import torch_state_dict_to_params
+
+    tm = SuperResModel_noatt(
+        image_size=16, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    g = th2.Generator().manual_seed(3)
+    with th2.no_grad():
+        for p in tm.parameters():
+            p.copy_(th2.randn(p.shape, generator=g) * 0.05)
+    tm.eval()
+    jparams = {"params": torch_state_dict_to_params(tm.state_dict(), True)}
+    jm = SuperResModel(
+        in_channels=1, model_channels=32, out_channels=2, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False,
+    )
+
+    vol_shape_t = (1, 1, 8, 16, 16)
+    low_np = (rng.normal(size=vol_shape_t) * 0.3).astype(np.float32)
+    xT = rng.normal(size=vol_shape_t).astype(np.float32)
+
+    def tmodel(x, t, **kw):
+        with th.no_grad():
+            return tm(x, t, **kw)
+
+    r_chain = ref.ddim_sample_loop(
+        tmodel, vol_shape_t, noise=th.from_numpy(xT),
+        clip_denoised=True, eta=0.0, device=th.device("cpu"),
+        model_kwargs={"low_res": th.from_numpy(low_np)},
+    ).numpy()
+    j_chain = ddim_sample_loop(
+        jax.random.key(0),
+        lambda x, t, **kw: jm.apply(jparams, x, t, **kw),
+        sched, cfg,
+        noise=jnp.moveaxis(jnp.asarray(xT), 1, -1),
+        clip_denoised=True, eta=0.0,
+        model_kwargs={"low_res": jnp.moveaxis(jnp.asarray(low_np), 1, -1)},
+    )
+    check(
+        "full-model ddim chain (25 steps)",
+        np.moveaxis(np.asarray(j_chain), -1, 1), r_chain, 5e-3,
+    )
 
     if failures:
         print(f"\nPARITY FAIL: {failures}")
