@@ -6,6 +6,13 @@ kernel computes it in exactly two streaming passes over the activation
 (one stats pass, one fused apply pass), with the FiLM conditioning and SiLU
 folded into the apply pass so no intermediate tensor round-trips HBM.
 
+Measured on v5e at 96^3 x 128ch (in-scan, bf16): XLA's own fusion of the
+reference chain runs at 4.07 ms/op; this two-pallas-call version at
+5.39 ms/op — XLA already emits a well-fused two-pass program, so the model
+path keeps the XLA implementation and this kernel stays as an ops-library
+capability (a single-pass revisit/conv-epilogue fusion is the remaining
+headroom; both are future work).
+
 Layout: x is [N, C] rows-by-channels (callers flatten [B, D, H, W, C] to
 [B, DHW, C] and vmap over B, or pass the flattened view with per-batch
 stats). Groups split the channel axis contiguously, matching torch
