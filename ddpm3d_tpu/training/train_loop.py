@@ -266,7 +266,14 @@ class TrainLoop:
         self.resume_checkpoint = resume_checkpoint
         self.schedule_sampler = schedule_sampler
         self.lr_anneal_steps = lr_anneal_steps
-        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        if mesh is None:
+            # the data-mesh size must divide the global batch; default to
+            # the largest divisor of batch_size that fits the device count
+            import math as _math
+
+            n_data = _math.gcd(batch_size, len(jax.devices()))
+            mesh = pmesh.make_mesh(n_data=n_data)
+        self.mesh = mesh
         self.key = jax.random.key(seed)
         # batch_size is the GLOBAL batch under single-controller JAX (the
         # reference multiplies per-rank batch by world size,
