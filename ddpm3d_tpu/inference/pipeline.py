@@ -99,7 +99,9 @@ def denoise_patches(
     batched scan over timesteps.
     """
     mesh = mesh if mesh is not None else pmesh.make_mesh()
-    n_data = int(np.prod(mesh.devices.shape))
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_data = mesh_shape.get(pmesh.DATA_AXIS, 1)
+    n_spatial = mesh_shape.get(pmesh.SPATIAL_AXIS, 1)
     P = low_patches.shape[0]
     per_device_batch = per_device_batch or 1
     chunk = n_data * per_device_batch
@@ -120,7 +122,12 @@ def denoise_patches(
         )
 
     jitted = jax.jit(sample_chunk)
-    sharding = pmesh.data_sharding(mesh)
+    # With a spatial mesh axis, additionally shard the X (height) axis of
+    # each patch: XLA SPMD inserts the conv halo exchanges over ICI — true
+    # spatial parallelism the reference lacks (SURVEY.md §5.7).
+    sharding = pmesh.data_sharding(
+        mesh, spatial_dim=2 if n_spatial > 1 else None
+    )
 
     padded = pmesh.pad_to_multiple(P, chunk)
     pad = padded - P

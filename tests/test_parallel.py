@@ -122,3 +122,13 @@ def test_denoise_patches_sharded(tmp_path):
     )
     assert out.shape == (P, Z, X, Y)
     assert np.isfinite(out).all()
+
+    # spatial sharding (4 data x 2 spatial): XLA SPMD handles the conv
+    # halos; results must match the data-parallel-only run (same noise
+    # since the chunk keys fold on the padded chunk starts)
+    mesh_sp = make_mesh(n_data=4, n_spatial=2)
+    out_sp = denoise_patches(
+        jax.random.key(1), model.apply, params, sched, cfg, low, mesh=mesh_sp
+    )
+    assert out_sp.shape == (P, Z, X, Y)
+    assert np.isfinite(out_sp).all()
