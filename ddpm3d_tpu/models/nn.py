@@ -45,48 +45,122 @@ def timestep_embedding(
     return embedding
 
 
+def _gn_stats_mode() -> str:
+    import os
+
+    return os.environ.get("DDPM3D_GN_STATS", "classic").lower()
+
+
+def _group_stats(xf: jnp.ndarray, num_groups: int):
+    """Per-(batch, group) mean/var via per-CHANNEL reductions.
+
+    Reducing (B, ..., G, Cg) over the minor Cg=4 axis wastes the VPU's 128
+    lanes; reducing over the spatial axes per channel keeps C minor (measured
+    3.59 vs 3.99 ms/op at 96^3x128 on v5e), then the (G, Cg) combine is on a
+    tiny array. Variance via E[x^2]-mean^2, clamped at 0 against f32
+    cancellation.
+    Returns (mean_c, rstd_c) broadcast back to per-channel [B, C] arrays.
+    """
+    B = xf.shape[0]
+    C = xf.shape[-1]
+    Cg = C // num_groups
+    spatial_axes = tuple(range(1, xf.ndim - 1))
+    n = math.prod(xf.shape[1:-1]) * Cg
+    s1 = jnp.sum(xf, axis=spatial_axes)        # [B, C]
+    s2 = jnp.sum(xf * xf, axis=spatial_axes)   # [B, C]
+    gs1 = s1.reshape(B, num_groups, Cg).sum(-1)
+    gs2 = s2.reshape(B, num_groups, Cg).sum(-1)
+    mean = gs1 / n
+    var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+    mean_c = jnp.repeat(mean, Cg, axis=-1)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var + 1e-5), Cg, axis=-1)
+    return mean_c, rstd_c
+
+
 def group_norm_f32(
     x: jnp.ndarray,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
     num_groups: int = NORM_GROUPS,
     eps: float = 1e-5,
+    film_scale: Optional[jnp.ndarray] = None,
+    film_shift: Optional[jnp.ndarray] = None,
+    apply_silu: bool = False,
 ) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis, computed in float32 and cast
     back to the input dtype (reference GroupNorm32, nn.py:17-19).
 
-    Works on any rank: x is [..., C]; statistics reduce over all non-batch
-    spatial axes and the within-group channel slice, exactly like torch's
-    GroupNorm on the channels-first mirror.
+    x is [B, ..., C]. Statistics reduce over all non-batch spatial axes and
+    the within-group channel slice, matching torch GroupNorm semantics.
+
+    The optional FiLM conditioning (film_*: [B, C]) and SiLU fold into the
+    single per-channel affine applied in the normalize pass — the fused form
+    of the reference's scale-shift-norm chain (unet.py:248-252), saving full
+    HBM round-trips at 96^3 resolution.
     """
+    del eps  # fixed 1e-5 inside the stats helpers (torch default)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     C = xf.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
-    gshape = xf.shape[:-1] + (num_groups, C // num_groups)
-    xg = xf.reshape(gshape)
-    # reduce over all spatial dims + within-group channels (keep batch, group)
-    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=red_axes, keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=red_axes, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(xf.shape)
-    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if _gn_stats_mode() == "chanwise":
+        mean_c, rstd_c = _group_stats(xf, num_groups)
+    else:
+        # classic two-pass E[(x-mu)^2] over the (..., G, Cg) view. Although
+        # the channelwise form wins in isolation (3.59 vs 3.99 ms/op), it
+        # regressed the full model 241 -> 299 ms/step — XLA fuses this form
+        # into the surrounding ops better. Selectable via DDPM3D_GN_STATS.
+        gshape = xf.shape[:-1] + (num_groups, C // num_groups)
+        xg = xf.reshape(gshape)
+        red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = xg.mean(axis=red, keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=red, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        B = xf.shape[0]
+        Cg = C // num_groups
+        mean_c = jnp.repeat(mean.reshape(B, num_groups), Cg, axis=-1)
+        rstd_c = jnp.repeat(rstd.reshape(B, num_groups), Cg, axis=-1)
+    # fold GN affine (+ optional FiLM) into one per-channel g,b
+    g = scale.astype(jnp.float32)[None] * rstd_c              # [B, C]
+    b = bias.astype(jnp.float32)[None] - mean_c * g
+    if film_scale is not None:
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        g = g * fs
+        b = b * fs
+    if film_shift is not None:
+        b = b + film_shift.astype(jnp.float32)
+    bshape = (g.shape[0],) + (1,) * (xf.ndim - 2) + (C,)
+    out = xf * g.reshape(bshape) + b.reshape(bshape)
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
     return out.astype(orig_dtype)
 
 
 class GroupNorm32(fnn.Module):
-    """Param-holding wrapper over :func:`group_norm_f32`."""
+    """Param-holding wrapper over :func:`group_norm_f32`. The optional FiLM
+    args fuse the reference's scale-shift-norm (+SiLU) chain into the
+    normalize pass; param names stay scale/bias so checkpoints are identical
+    either way."""
 
     num_groups: int = NORM_GROUPS
     eps: float = 1e-5
 
     @fnn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        film_scale: Optional[jnp.ndarray] = None,
+        film_shift: Optional[jnp.ndarray] = None,
+        apply_silu: bool = False,
+    ) -> jnp.ndarray:
         C = x.shape[-1]
         scale = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
-        return group_norm_f32(x, scale, bias, self.num_groups, self.eps)
+        return group_norm_f32(
+            x, scale, bias, self.num_groups, self.eps,
+            film_scale=film_scale, film_shift=film_shift,
+            apply_silu=apply_silu,
+        )
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:

@@ -59,8 +59,7 @@ class ResBlock(fnn.Module):
         in_ch = x.shape[-1]
         sdims = x.ndim - 2
 
-        h = prim.GroupNorm32(name="in_norm")(x)
-        h = prim.silu(h)
+        h = prim.GroupNorm32(name="in_norm")(x, apply_silu=True)
         if self.up:
             h = prim.upsample_nearest_hw(h)
             x = prim.upsample_nearest_hw(x)
@@ -75,19 +74,20 @@ class ResBlock(fnn.Module):
             dtype=self.dtype,
             name="emb",
         )(prim.silu(emb))
-        emb_out = emb_out.reshape(
-            (emb_out.shape[0],) + (1,) * sdims + (emb_out.shape[-1],)
-        ).astype(h.dtype)
 
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = prim.GroupNorm32(name="out_norm")(h)
-            h = h * (1.0 + scale) + shift
-            h = prim.silu(h)
+            # FiLM + SiLU fused into the GroupNorm affine (one HBM pass
+            # instead of three; reference chain at unet.py:248-252)
+            scale, shift = jnp.split(emb_out.astype(jnp.float32), 2, axis=-1)
+            h = prim.GroupNorm32(name="out_norm")(
+                h, film_scale=scale, film_shift=shift, apply_silu=True
+            )
         else:
-            h = h + emb_out
-            h = prim.GroupNorm32(name="out_norm")(h)
-            h = prim.silu(h)
+            emb_b = emb_out.reshape(
+                (emb_out.shape[0],) + (1,) * sdims + (emb_out.shape[-1],)
+            ).astype(h.dtype)
+            h = h + emb_b
+            h = prim.GroupNorm32(name="out_norm")(h, apply_silu=True)
         h = fnn.Dropout(self.dropout, name="drop")(h, deterministic=not train)
         h = prim.conv_nd(
             sdims, self.out_ch, 3, zero_init=True, dtype=self.dtype, name="out_conv"
