@@ -178,6 +178,7 @@ def denoise_volume(
     per_device_batch: Optional[int] = None,
     blend: str = "hann",
     normalize_div4: bool = False,
+    num_samples: int = 1,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Denoise a whole (Z, H, W) volume; returns ((H, W, Z) result, stats).
 
@@ -188,6 +189,12 @@ def denoise_volume(
     (test_backup.py:118-167); ``normalize_div4`` applies the backup
     script's clip-at-4-then-/4 input normalization (test_backup.py:266-267)
     and rescales the output back by 4.
+
+    ``num_samples > 1`` draws that many independent reverse chains and
+    returns their posterior mean, with the per-voxel std exposed in stats
+    under ``uncertainty_hwz`` — the paper's uncertainty maps (reference
+    README.md:44; the launch script's dangling --num_samples flag). The
+    mean is the MMSE estimate and empirically dominates single draws.
     """
     Z, H, W = volume_zxy.shape
     if normalize_div4:
@@ -201,27 +208,35 @@ def denoise_volume(
     )
 
     low = extract_patches_zxy(volume_zxy, grid, patch_size)  # [P,Z,X,Y]
-    denoised = denoise_patches(
-        key, model_apply, params, sched, cfg, low,
-        use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
-        mesh=mesh, per_device_batch=per_device_batch,
-        progress_cb=lambda done, total: logger.log(
-            f"denoised {done}/{total} patches"
-        ),
-    )
 
-    # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
-    patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
-    if blend == "count":
-        result, uncovered = blend_patches_count(
-            patches_xyz, grid, (H, W, Z), patch_size
+    def one_draw(draw_key):
+        denoised = denoise_patches(
+            draw_key, model_apply, params, sched, cfg, low,
+            use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
+            mesh=mesh, per_device_batch=per_device_batch,
+            progress_cb=lambda done, total: logger.log(
+                f"denoised {done}/{total} patches"
+            ),
         )
-        if uncovered:
-            logger.log(f"WARNING: {uncovered} voxels covered by no patch")
-    else:
-        result = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
-    if normalize_div4:
-        result = result * 4.0
+        # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
+        patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
+        if blend == "count":
+            out, uncovered = blend_patches_count(
+                patches_xyz, grid, (H, W, Z), patch_size
+            )
+            if uncovered:
+                logger.log(f"WARNING: {uncovered} voxels covered by no patch")
+        else:
+            out = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
+        return out * 4.0 if normalize_div4 else out
+
+    draws = []
+    for s in range(max(1, num_samples)):
+        if num_samples > 1:
+            logger.log(f"sample draw {s + 1}/{num_samples}")
+        draws.append(one_draw(jax.random.fold_in(key, 1000003 + s)))
+    result = np.mean(draws, axis=0) if len(draws) > 1 else draws[0]
+    uncertainty = np.std(draws, axis=0) if len(draws) > 1 else None
 
     original_std = float(volume_zxy.std())
     denoised_std = float(result.std())
@@ -234,6 +249,13 @@ def denoise_volume(
             else 0.0
         ),
     }
+    if uncertainty is not None:
+        stats["uncertainty_hwz"] = uncertainty
+        stats["mean_uncertainty"] = float(uncertainty.mean())
+        logger.log(
+            f"uncertainty map over {num_samples} draws: "
+            f"mean sigma {stats['mean_uncertainty']:.4f}"
+        )
     logger.log(
         f"Full image denoising: original std {original_std:.4f}, "
         f"denoised std {denoised_std:.4f}, "

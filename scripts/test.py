@@ -87,9 +87,22 @@ def main():
         per_device_batch=args.batch_size,
         blend=args.blend,
         normalize_div4=args.normalize_div4,
+        num_samples=args.num_samples,
     )
 
     save_outputs(logger.get_dir(), args.base_samples, result)
+    if "uncertainty_hwz" in stats and jax.process_index() == 0:
+        from ddpm3d_tpu.data import tiff_io
+
+        unc_path = os.path.join(
+            logger.get_dir(),
+            f"uncertainty_{os.path.basename(args.base_samples).rsplit('.', 1)[0]}.tif",
+        )
+        tiff_io.imwrite(
+            unc_path,
+            stats["uncertainty_hwz"].transpose(2, 0, 1).astype(np.float32),
+        )
+        logger.log(f"Saved uncertainty map: {unc_path}")
     logger.log("Full image denoising complete")
 
 
@@ -99,7 +112,9 @@ def create_argparser():
         save_dir="",
         clip_denoised=True,
         batch_size=1,
-        num_samples=6,
+        # single draw by default (the reference's active behavior);
+        # >1 enables posterior-mean denoising + uncertainty maps
+        num_samples=1,
         use_ddim=False,
         eta=0.0,
         timestep_respacing="",

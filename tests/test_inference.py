@@ -1,0 +1,94 @@
+"""Tests for the whole-volume inference pipeline (grid, blending, sampling,
+uncertainty maps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm3d_tpu.diffusion import (
+    DiffusionConfig, LossType, MeanType, VarType, make_schedule,
+)
+from ddpm3d_tpu.inference import denoise_volume, load_volume_for_denoising
+from ddpm3d_tpu.models import SuperResModel
+from ddpm3d_tpu.parallel import make_mesh
+
+
+def _setup():
+    model = SuperResModel(
+        in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False,
+    )
+    sched = make_schedule(np.linspace(1e-4, 0.02, 3))
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=3,
+    )
+    x0 = jnp.zeros((1, 4, 16, 16, 1))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,), jnp.int32), low_res=x0
+    )["params"]
+    return model, sched, cfg, params
+
+
+def test_denoise_volume_end_to_end(rng):
+    model, sched, cfg, params = _setup()
+    vol = rng.normal(size=(20, 40, 40)).astype(np.float32)  # (Z,H,W)
+    result, stats = denoise_volume(
+        jax.random.key(0), model.apply, params, sched, cfg, vol,
+        patch_size=16, num_xy_patches=3, mesh=make_mesh(),
+    )
+    assert result.shape == (40, 40, 20)  # (H, W, Z)
+    assert np.isfinite(result).all()
+    assert "noise_reduction_pct" in stats
+    assert "uncertainty_hwz" not in stats
+
+
+def test_denoise_volume_uncertainty(rng):
+    model, sched, cfg, params = _setup()
+    vol = rng.normal(size=(16, 32, 32)).astype(np.float32)
+    result, stats = denoise_volume(
+        jax.random.key(0), model.apply, params, sched, cfg, vol,
+        patch_size=16, num_xy_patches=2, mesh=make_mesh(),
+        num_samples=3,
+    )
+    assert result.shape == (32, 32, 16)
+    unc = stats["uncertainty_hwz"]
+    assert unc.shape == (32, 32, 16)
+    # different draws must differ somewhere covered by patches
+    assert float(unc.max()) > 0
+    assert stats["mean_uncertainty"] >= 0
+
+
+def test_load_volume_contract(tmp_path, rng):
+    from ddpm3d_tpu.data import tiff_io
+
+    good = rng.normal(size=(100, 200, 200)).astype(np.float32)
+    p = str(tmp_path / "good.tif")
+    tiff_io.imwrite(p, good)
+    v = load_volume_for_denoising(p)
+    assert v.shape == (100, 200, 200)
+
+    bad = rng.normal(size=(100, 64, 64)).astype(np.float32)
+    pb = str(tmp_path / "bad.tif")
+    tiff_io.imwrite(pb, bad)
+    with pytest.raises(AssertionError):
+        load_volume_for_denoising(pb)
+    # contract can be relaxed for non-scanner volumes
+    v2 = load_volume_for_denoising(pb, enforce_contract=False)
+    assert v2.shape == (100, 64, 64)
+
+
+def test_normalize_div4_roundtrip(rng):
+    """normalize_div4 scales inputs into the model and rescales outputs by
+    4 (reference test_backup.py:266-267)."""
+    model, sched, cfg, params = _setup()
+    vol = np.abs(rng.normal(2.0, 1.0, size=(16, 32, 32))).astype(np.float32)
+    r1, _ = denoise_volume(
+        jax.random.key(0), model.apply, params, sched, cfg, vol,
+        patch_size=16, num_xy_patches=2, mesh=make_mesh(),
+        normalize_div4=True,
+    )
+    assert np.isfinite(r1).all()
