@@ -52,7 +52,10 @@ def main():
     shape = (args.batch_size, size, size, 3)
 
     with jax.default_device(jax.devices("cpu")[0]):
-        xi = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        # the UNet's params are spatial-size-invariant, but the classifier's
+        # AttentionPool positional embedding is sized by the bottom token
+        # count (reference unet.py:22-51) — init with the REAL image size
+        xi = jnp.zeros((1, size, size, 3), jnp.float32)
         t0 = jnp.zeros((1,), jnp.int32)
         y0 = jnp.zeros((1,), jnp.int32) if args.class_cond else None
         mvars = model.init(jax.random.key(0), xi, t0, y=y0)
