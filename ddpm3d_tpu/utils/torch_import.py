@@ -69,6 +69,14 @@ def torch_key_to_flax_path(key: str) -> Optional[Tuple[str, ...]]:
     Returns None for keys with no parameters on our side (none known).
     """
     parts = tuple(key.split("."))
+    if parts[0] == "encoder":
+        # Seg* dual-branch conditioner encoder (reference unet.py:1706-1725):
+        # same naming scheme, nested under the 'encoder' submodule
+        inner = torch_key_to_flax_path(".".join(parts[1:]))
+        return ("encoder",) + inner if inner else None
+    if parts[0] == "conv_down":
+        # SegModelv3's per-stage 1x1 fusion convs (unet.py:1940-1952)
+        return (f"fuse{parts[1]}", parts[2])
     if parts[0] == "time_embed":
         return (f"time_embed_{parts[1]}", parts[2])
     if parts[0] == "label_emb":

@@ -66,6 +66,64 @@ def test_seg_param_structure_has_fusion_convs():
     assert "encoder" in params
 
 
+def test_torch_parity_seg_v2_3d_noatt():
+    """Import a randomized reference SegModelv2_3d_noatt and compare the
+    full dual-branch forward (encoder features fused by addition)."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from guided_diffusion.unet import SegModelv2_3d_noatt as TorchSeg
+
+    from ddpm3d_tpu.utils.torch_import import torch_state_dict_to_params
+
+    tm = TorchSeg(
+        image_size=16,
+        in_channels=2,  # the reference hardcodes its encoder to 2 channels
+        model_channels=32,
+        out_channels=2,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    g = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    tm.eval()
+
+    params = {"params": torch_state_dict_to_params(tm.state_dict())}
+    jm = SegUNetModel(
+        in_channels=2, cond_channels=2, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False, fusion="add",
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, 2, 4, 16, 16)).astype(np.float32)   # NCDHW
+    low = rng.normal(size=(1, 2, 4, 16, 16)).astype(np.float32)
+    t = np.array([3], dtype=np.int64)
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(x), torch.from_numpy(t),
+            low_res=torch.from_numpy(low),
+        ).numpy()
+    ours = jm.apply(
+        params,
+        jnp.moveaxis(jnp.asarray(x), 1, -1),
+        jnp.asarray(t),
+        low_res=jnp.moveaxis(jnp.asarray(low), 1, -1),
+    )
+    assert np.abs(ref).max() > 1e-3
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours), -1, 1), ref, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_seg_midcat_middle_is_double_width():
     model = SegUNetModel(fusion="midcat", **KW)
     x = jnp.zeros((1, 4, 16, 16, 1))
