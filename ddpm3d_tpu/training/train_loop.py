@@ -248,6 +248,7 @@ class TrainLoop:
         seed: int = 0,
         example_batch=None,
         example_cond=None,
+        auto_resume: bool = False,
     ):
         self.model = model
         self.sched = sched
@@ -263,6 +264,14 @@ class TrainLoop:
         )
         self.log_interval = log_interval
         self.save_interval = save_interval
+        if auto_resume and not resume_checkpoint:
+            # preemption-safe restart: pick up the newest checkpoint in the
+            # run directory (the reference's find_resume_checkpoint hook,
+            # train_util.py:300-303, left unimplemented there)
+            found = ckpt.latest_checkpoint(logger.get_dir() or "")
+            if found:
+                logger.log(f"auto-resuming from {found}")
+                resume_checkpoint = found
         self.resume_checkpoint = resume_checkpoint
         self.schedule_sampler = schedule_sampler
         self.lr_anneal_steps = lr_anneal_steps

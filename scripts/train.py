@@ -14,7 +14,7 @@ sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 from ddpm3d_tpu.data import load_data, prefetch
 from ddpm3d_tpu.models.factory import sr_create_model_and_diffusion
-from ddpm3d_tpu.parallel import make_mesh, maybe_initialize_distributed
+from ddpm3d_tpu.parallel import maybe_initialize_distributed
 from ddpm3d_tpu.training import TrainLoop
 from ddpm3d_tpu.utils import logger
 from ddpm3d_tpu.utils.config import (
@@ -71,7 +71,7 @@ def main():
         schedule_sampler=args.schedule_sampler,
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
-        mesh=make_mesh(),
+        auto_resume=args.auto_resume,
     ).run_loop()
 
 
@@ -92,6 +92,7 @@ def create_argparser():
         use_fp16=True,
         fp16_scale_growth=1e-3,
         result_folder=None,
+        auto_resume=False,  # pick up the newest checkpoint in result_folder
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

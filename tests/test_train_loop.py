@@ -102,6 +102,24 @@ def test_training_test_env_stops_after_first_save(tmp_path, rng, monkeypatch):
     assert loop.step <= 4
 
 
+def test_auto_resume_picks_latest(tmp_path, rng):
+    """auto_resume finds the newest model checkpoint in the log dir — the
+    preemption-recovery path."""
+    loop = _loop(tmp_path, rng, steps=3)
+    loop.run_loop()
+    sched, cfg = create_gaussian_diffusion(
+        steps=16, learn_sigma=True, noise_schedule="cosine"
+    )
+    logger.configure(str(tmp_path), format_strs=["log"])
+    loop2 = TrainLoop(
+        model=_model(), sched=sched, cfg=cfg, data=_data_gen(rng),
+        batch_size=2, microbatch=-1, lr=1e-3, ema_rate="0.999,0.9999",
+        log_interval=1, save_interval=2, resume_checkpoint="",
+        schedule_sampler="uniform", lr_anneal_steps=3, auto_resume=True,
+    )
+    assert loop2.resume_step == 2
+
+
 def test_loss_aware_sampler_in_loop(tmp_path, rng):
     loop = _loop(tmp_path, rng, steps=2, sampler="loss-second-moment")
     loop.run_loop()
