@@ -51,7 +51,7 @@ def _gn_stats_mode() -> str:
     return os.environ.get("DDPM3D_GN_STATS", "classic").lower()
 
 
-def _group_stats(xf: jnp.ndarray, num_groups: int):
+def _group_stats(xf: jnp.ndarray, num_groups: int, eps: float = 1e-5):
     """Per-(batch, group) mean/var via per-CHANNEL reductions.
 
     Reducing (B, ..., G, Cg) over the minor Cg=4 axis wastes the VPU's 128
@@ -73,7 +73,7 @@ def _group_stats(xf: jnp.ndarray, num_groups: int):
     mean = gs1 / n
     var = jnp.maximum(gs2 / n - mean * mean, 0.0)
     mean_c = jnp.repeat(mean, Cg, axis=-1)
-    rstd_c = jnp.repeat(jax.lax.rsqrt(var + 1e-5), Cg, axis=-1)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), Cg, axis=-1)
     return mean_c, rstd_c
 
 
@@ -98,13 +98,12 @@ def group_norm_f32(
     of the reference's scale-shift-norm chain (unet.py:248-252), saving full
     HBM round-trips at 96^3 resolution.
     """
-    del eps  # fixed 1e-5 inside the stats helpers (torch default)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     C = xf.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
     if _gn_stats_mode() == "chanwise":
-        mean_c, rstd_c = _group_stats(xf, num_groups)
+        mean_c, rstd_c = _group_stats(xf, num_groups, eps)
     else:
         # classic two-pass E[(x-mu)^2] over the (..., G, Cg) view. Although
         # the channelwise form wins in isolation (3.59 vs 3.99 ms/op), it
@@ -115,7 +114,7 @@ def group_norm_f32(
         red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         mean = xg.mean(axis=red, keepdims=True)
         var = ((xg - mean) ** 2).mean(axis=red, keepdims=True)
-        rstd = jax.lax.rsqrt(var + 1e-5)
+        rstd = jax.lax.rsqrt(var + eps)
         B = xf.shape[0]
         Cg = C // num_groups
         mean_c = jnp.repeat(mean.reshape(B, num_groups), Cg, axis=-1)
