@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ ImageDescription tag recording the axes, ImageJ-hyperstack style.
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

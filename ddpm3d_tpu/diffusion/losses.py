@@ -7,7 +7,7 @@ losses, bpd loop), written as pure jittable functions.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import dataclasses
 import enum
 from typing import Any, Callable, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 
 from .schedules import Schedule

@@ -13,7 +13,7 @@ reference is available through the ``noise`` argument, mirroring gd.py:510-513.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

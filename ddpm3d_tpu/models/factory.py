@@ -9,7 +9,7 @@ its (1,1,2,3,4) multiplier (script_util.py:353-361).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ Flax modules simply instantiate what the plan says.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

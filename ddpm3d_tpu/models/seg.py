@@ -21,7 +21,7 @@ the encoder branch sees the raw conditioner.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as fnn

@@ -24,7 +24,7 @@ fp16+loss-scaling, fp16_util.py); params are always fp32.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,12 +26,10 @@ don't tile cleanly).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas import is TPU/CPU-safe; kernels only run on TPU
     from jax.experimental import pallas as pl

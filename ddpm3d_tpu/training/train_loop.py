@@ -22,11 +22,7 @@ fp16_util.py (MixedPrecisionTrainer), redesigned TPU-first:
 
 from __future__ import annotations
 
-import copy
-import functools
 import os
-import os.path as osp
-import time
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
