@@ -23,6 +23,19 @@ from .process import DiffusionConfig
 from .schedules import Schedule
 
 
+def _step_noise(key, x, sample_ids):
+    """Per-step Gaussian noise; with ``sample_ids`` [B] the noise of each
+    batch element is keyed individually, making results invariant to batch
+    composition/chunking (e.g. identical on 1 chip or 8)."""
+    if sample_ids is None:
+        return jax.random.normal(key, x.shape, dtype=jnp.float32)
+    return jax.vmap(
+        lambda sid: jax.random.normal(
+            jax.random.fold_in(key, sid), x.shape[1:], dtype=jnp.float32
+        )
+    )(sample_ids)
+
+
 def p_sample(
     key: jax.Array,
     model_fn,
@@ -34,6 +47,7 @@ def p_sample(
     denoised_fn=None,
     cond_fn=None,
     model_kwargs: Optional[Dict[str, Any]] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One DDPM ancestral step x_t -> x_{t-1} (reference gd.py:395-439)."""
     out = process.p_mean_variance(
@@ -41,7 +55,7 @@ def p_sample(
         clip_denoised=clip_denoised, denoised_fn=denoised_fn,
         model_kwargs=model_kwargs,
     )
-    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    noise = _step_noise(key, x, sample_ids)
     nonzero_mask = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
     if cond_fn is not None:
         out["mean"] = process.condition_mean(
@@ -63,6 +77,7 @@ def ddim_sample(
     cond_fn=None,
     model_kwargs: Optional[Dict[str, Any]] = None,
     eta: float = 0.0,
+    sample_ids: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One DDIM step (reference gd.py:537-585)."""
     out = process.p_mean_variance(
@@ -83,7 +98,7 @@ def ddim_sample(
         * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
         * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
     )
-    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    noise = _step_noise(key, x, sample_ids)
     mean_pred = (
         out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(1.0 - alpha_bar_prev - sigma ** 2) * eps
@@ -148,17 +163,22 @@ def p_sample_loop(
     cond_fn=None,
     model_kwargs: Optional[Dict[str, Any]] = None,
     return_intermediates: bool = False,
+    sample_ids: Optional[jnp.ndarray] = None,
 ):
     """Full DDPM ancestral sampling chain compiled to one XLA program
     (replaces the Python loop of reference gd.py:441-535).
 
     Exactly one of ``shape`` / ``noise`` must pin the sample shape; when
     ``noise`` is given it is used as x_T (parity path for matched-noise
-    comparison against the reference)."""
+    comparison against the reference). ``sample_ids`` [B] keys each batch
+    element's noise individually — results then do not depend on how
+    samples are batched/sharded."""
     if noise is None:
         assert shape is not None, "provide shape or noise"
         key, init_key = jax.random.split(key)
-        noise = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        noise = _step_noise(
+            init_key, jnp.zeros(tuple(shape), jnp.float32), sample_ids
+        )
 
     B = noise.shape[0]
 
@@ -168,6 +188,7 @@ def p_sample_loop(
             step_key, model_fn, sched, cfg, img, t,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, model_kwargs=model_kwargs,
+            sample_ids=sample_ids,
         )
 
     return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
@@ -224,12 +245,15 @@ def ddim_sample_loop(
     model_kwargs: Optional[Dict[str, Any]] = None,
     eta: float = 0.0,
     return_intermediates: bool = False,
+    sample_ids: Optional[jnp.ndarray] = None,
 ):
     """Full DDIM chain as one XLA program (reference gd.py:625-707)."""
     if noise is None:
         assert shape is not None, "provide shape or noise"
         key, init_key = jax.random.split(key)
-        noise = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        noise = _step_noise(
+            init_key, jnp.zeros(tuple(shape), jnp.float32), sample_ids
+        )
 
     B = noise.shape[0]
 
@@ -239,6 +263,7 @@ def ddim_sample_loop(
             step_key, model_fn, sched, cfg, img, t,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, model_kwargs=model_kwargs, eta=eta,
+            sample_ids=sample_ids,
         )
 
     return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)

@@ -106,18 +106,22 @@ def denoise_patches(
     per_device_batch = per_device_batch or 1
     chunk = n_data * per_device_batch
 
-    def sample_chunk(params, chunk_key, low_chunk, noise_chunk):
+    def sample_chunk(params, chunk_key, low_chunk, noise_chunk, ids):
         # params are an ARGUMENT, not a closure: closed-over weights would
         # be baked into the HLO as constants (gigabyte-scale programs).
+        # ``ids`` key each patch's noise by its GLOBAL index, so outputs are
+        # identical regardless of device count / chunking.
         model_fn = lambda x, t, **kw: model_apply({"params": params}, x, t, **kw)
         kwargs = {"low_res": low_chunk}
         loop = ddim_sample_loop if use_ddim else p_sample_loop
         extra = {"eta": eta} if use_ddim else {}
         return loop(
             chunk_key, model_fn, sched, cfg,
+            shape=low_chunk.shape,
             noise=noise_chunk,
             clip_denoised=clip_denoised,
             model_kwargs=kwargs,
+            sample_ids=ids,
             **extra,
         )
 
@@ -132,29 +136,28 @@ def denoise_patches(
     padded = pmesh.pad_to_multiple(P, chunk)
     pad = padded - P
     low = np.concatenate([low_patches] + [low_patches[-1:]] * pad)[..., None]
+    if noise is not None:
+        noise = np.concatenate(
+            [noise, noise[-1:].repeat(pad, axis=0)] if pad else [noise]
+        )[..., None]
 
     outs = []
     for start in range(0, padded, chunk):
         low_chunk = jax.device_put(
             jnp.asarray(low[start : start + chunk]), sharding
         )
-        chunk_key = jax.random.fold_in(key, start)
-        if noise is not None:
-            noise_chunk = jax.device_put(
-                jnp.asarray(
-                    np.concatenate(
-                        [noise, noise[-1:].repeat(pad, axis=0)]
-                        if pad else [noise]
-                    )[start : start + chunk][..., None]
-                ),
-                sharding,
-            )
-        else:
-            noise_chunk = jax.random.normal(
-                chunk_key, low_chunk.shape, dtype=jnp.float32
-            )
-            noise_chunk = jax.device_put(noise_chunk, sharding)
-        out = jitted(params, chunk_key, low_chunk, noise_chunk)
+        # noise is keyed per GLOBAL patch index (sample_ids) inside the
+        # sampler, so outputs are identical on any device count / chunking
+        ids = jax.device_put(
+            jnp.arange(start, start + chunk, dtype=jnp.int32),
+            pmesh.data_sharding(mesh),
+        )
+        noise_chunk = (
+            jax.device_put(jnp.asarray(noise[start : start + chunk]), sharding)
+            if noise is not None
+            else None
+        )
+        out = jitted(params, key, low_chunk, noise_chunk, ids)
         outs.append(np.asarray(jax.device_get(out))[..., 0])
         if progress_cb is not None:
             progress_cb(min(start + chunk, P), P)

@@ -123,12 +123,19 @@ def test_denoise_patches_sharded(tmp_path):
     assert out.shape == (P, Z, X, Y)
     assert np.isfinite(out).all()
 
+    # topology invariance: noise is keyed per global patch index, so a
+    # 1-device mesh must produce bit-identical results to the 8-device run
+    mesh_1 = make_mesh(n_data=1)
+    out_1 = denoise_patches(
+        jax.random.key(1), model.apply, params, sched, cfg, low, mesh=mesh_1
+    )
+    np.testing.assert_allclose(out_1, out, rtol=1e-5, atol=1e-6)
+
     # spatial sharding (4 data x 2 spatial): XLA SPMD handles the conv
-    # halos; results must match the data-parallel-only run (same noise
-    # since the chunk keys fold on the padded chunk starts)
+    # halos; must also match
     mesh_sp = make_mesh(n_data=4, n_spatial=2)
     out_sp = denoise_patches(
         jax.random.key(1), model.apply, params, sched, cfg, low, mesh=mesh_sp
     )
     assert out_sp.shape == (P, Z, X, Y)
-    assert np.isfinite(out_sp).all()
+    np.testing.assert_allclose(out_sp, out, rtol=1e-4, atol=1e-5)
