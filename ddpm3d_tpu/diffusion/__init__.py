@@ -43,4 +43,5 @@ from .sampling import (
     p_sample,
     p_sample_loop,
     p_sample_loop_progressive,
+    sample_chain_segment,
 )

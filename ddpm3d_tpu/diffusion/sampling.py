@@ -137,8 +137,15 @@ def ddim_reverse_sample(
     return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
 
 
-def _scan_loop(step_fn, key, noise, num_steps, return_intermediates):
-    """Run ``num_steps`` reverse steps (T-1 .. 0) as a single lax.scan."""
+def _scan_loop(step_fn, key, noise, num_steps, return_intermediates,
+               t_hi=None, t_lo=0):
+    """Run reverse steps t_hi-1 .. t_lo as a single lax.scan.
+
+    Per-step keys are ``fold_in(key, t)``, so running the chain in segments
+    (several calls covering [t_hi, t_lo) ranges) is bit-identical to one
+    monolithic scan."""
+    if t_hi is None:
+        t_hi = num_steps
 
     def body(img, t_scalar):
         step_key = jax.random.fold_in(key, t_scalar)
@@ -146,7 +153,7 @@ def _scan_loop(step_fn, key, noise, num_steps, return_intermediates):
         y = out["sample"] if return_intermediates else None
         return out["sample"], y
 
-    ts = jnp.arange(num_steps - 1, -1, -1)
+    ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
     final, ys = jax.lax.scan(body, noise, ts)
     return (final, ys) if return_intermediates else final
 
@@ -164,9 +171,15 @@ def p_sample_loop(
     model_kwargs: Optional[Dict[str, Any]] = None,
     return_intermediates: bool = False,
     sample_ids: Optional[jnp.ndarray] = None,
+    t_hi: Optional[int] = None,
+    t_lo: int = 0,
 ):
     """Full DDPM ancestral sampling chain compiled to one XLA program
     (replaces the Python loop of reference gd.py:441-535).
+
+    ``t_hi``/``t_lo`` run only the [t_hi-1 .. t_lo] segment of the chain
+    (``noise`` is then x_{t_hi}); segment runs compose bit-identically to
+    the monolithic chain because per-step noise keys fold on t.
 
     Exactly one of ``shape`` / ``noise`` must pin the sample shape; when
     ``noise`` is given it is used as x_T (parity path for matched-noise
@@ -191,7 +204,55 @@ def p_sample_loop(
             sample_ids=sample_ids,
         )
 
-    return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
+    return _scan_loop(
+        step, key, noise, sched.num_timesteps, return_intermediates,
+        t_hi=t_hi, t_lo=t_lo,
+    )
+
+
+def sample_chain_segment(
+    key: jax.Array,
+    model_fn,
+    sched: Schedule,
+    cfg: DiffusionConfig,
+    img: jnp.ndarray,
+    t_start: jnp.ndarray,
+    num_steps: int,
+    *,
+    use_ddim: bool = False,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs: Optional[Dict[str, Any]] = None,
+    sample_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Advance ``num_steps`` (static) reverse steps from traced ``t_start``:
+    runs t = t_start-1 .. t_start-num_steps.
+
+    One compilation serves every segment position because ``t_start`` is a
+    traced scalar; per-step noise keys fold on t, so segment runs compose
+    bit-identically to the monolithic :func:`p_sample_loop`. This bounds
+    single-device-execution time for environments that watchdog-kill long
+    program runs (e.g. 1000-step 96^3 chains through a TPU relay)."""
+    B = img.shape[0]
+
+    def body(carry, i):
+        t_scalar = t_start - 1 - i
+        step_key = jax.random.fold_in(key, t_scalar)
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        fn = ddim_sample if use_ddim else p_sample
+        extra = {"eta": eta} if use_ddim else {}
+        out = fn(
+            step_key, model_fn, sched, cfg, carry, t,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, model_kwargs=model_kwargs,
+            sample_ids=sample_ids, **extra,
+        )
+        return out["sample"], None
+
+    final, _ = jax.lax.scan(body, img, jnp.arange(num_steps))
+    return final
 
 
 def p_sample_loop_progressive(
@@ -246,6 +307,8 @@ def ddim_sample_loop(
     eta: float = 0.0,
     return_intermediates: bool = False,
     sample_ids: Optional[jnp.ndarray] = None,
+    t_hi: Optional[int] = None,
+    t_lo: int = 0,
 ):
     """Full DDIM chain as one XLA program (reference gd.py:625-707)."""
     if noise is None:
@@ -266,4 +329,7 @@ def ddim_sample_loop(
             sample_ids=sample_ids,
         )
 
-    return _scan_loop(step, key, noise, sched.num_timesteps, return_intermediates)
+    return _scan_loop(
+        step, key, noise, sched.num_timesteps, return_intermediates,
+        t_hi=t_hi, t_lo=t_lo,
+    )

@@ -27,12 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion import (
-    DiffusionConfig,
-    Schedule,
-    ddim_sample_loop,
-    p_sample_loop,
-)
+from ..diffusion import DiffusionConfig, Schedule
+from ..diffusion.sampling import _step_noise, sample_chain_segment
 from ..data import tiff_io
 from ..data.patches import (
     blend_patches_count,
@@ -89,6 +85,7 @@ def denoise_patches(
     per_device_batch: Optional[int] = None,
     noise: Optional[np.ndarray] = None,
     progress_cb=None,
+    segment_steps: Optional[int] = 100,
 ) -> np.ndarray:
     """Run the full reverse chain on a stack of conditioner patches.
 
@@ -97,6 +94,11 @@ def denoise_patches(
     The patch dim is padded to a multiple of the data-mesh size and sharded;
     each jit call processes n_devices * per_device_batch patches as one
     batched scan over timesteps.
+
+    Long chains are executed in ``segment_steps``-sized device calls
+    (bit-identical to one monolithic scan — per-step keys fold on t); this
+    keeps single executions under relay/watchdog limits. ``None`` or a value
+    >= the chain length runs monolithically.
     """
     mesh = mesh if mesh is not None else pmesh.make_mesh()
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -106,26 +108,32 @@ def denoise_patches(
     per_device_batch = per_device_batch or 1
     chunk = n_data * per_device_batch
 
-    def sample_chunk(params, chunk_key, low_chunk, noise_chunk, ids):
+    T = sched.num_timesteps
+    seg = segment_steps if segment_steps and segment_steps < T else T
+
+    def init_noise(chunk_key, low_chunk, noise_chunk, ids):
+        if noise_chunk is not None:
+            return noise_chunk
+        # x_T key: fold on a sentinel far above any timestep index
+        return _step_noise(
+            jax.random.fold_in(chunk_key, 2**31 - 1),
+            jnp.zeros_like(low_chunk), ids,
+        )
+
+    def run_segment(params, chunk_key, img, low_chunk, ids, t_start, n_steps):
         # params are an ARGUMENT, not a closure: closed-over weights would
         # be baked into the HLO as constants (gigabyte-scale programs).
         # ``ids`` key each patch's noise by its GLOBAL index, so outputs are
-        # identical regardless of device count / chunking.
+        # identical regardless of device count / chunking; ``t_start`` is
+        # traced so one compile serves every segment position.
         model_fn = lambda x, t, **kw: model_apply({"params": params}, x, t, **kw)
-        kwargs = {"low_res": low_chunk}
-        loop = ddim_sample_loop if use_ddim else p_sample_loop
-        extra = {"eta": eta} if use_ddim else {}
-        return loop(
-            chunk_key, model_fn, sched, cfg,
-            shape=low_chunk.shape,
-            noise=noise_chunk,
-            clip_denoised=clip_denoised,
-            model_kwargs=kwargs,
-            sample_ids=ids,
-            **extra,
+        return sample_chain_segment(
+            chunk_key, model_fn, sched, cfg, img, t_start, n_steps,
+            use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
+            model_kwargs={"low_res": low_chunk}, sample_ids=ids,
         )
 
-    jitted = jax.jit(sample_chunk)
+    jitted_segment = jax.jit(run_segment, static_argnums=(6,))
     # With a spatial mesh axis, additionally shard the X (height) axis of
     # each patch: XLA SPMD inserts the conv halo exchanges over ICI — true
     # spatial parallelism the reference lacks (SURVEY.md §5.7).
@@ -157,8 +165,16 @@ def denoise_patches(
             if noise is not None
             else None
         )
-        out = jitted(params, key, low_chunk, noise_chunk, ids)
-        outs.append(np.asarray(jax.device_get(out))[..., 0])
+        img = init_noise(key, low_chunk, noise_chunk, ids)
+        t_cur = T
+        while t_cur > 0:
+            n_steps = min(seg, t_cur)
+            img = jitted_segment(
+                params, key, img, low_chunk, ids,
+                jnp.asarray(t_cur, jnp.int32), n_steps,
+            )
+            t_cur -= n_steps
+        outs.append(np.asarray(jax.device_get(img))[..., 0])
         if progress_cb is not None:
             progress_cb(min(start + chunk, P), P)
     return np.concatenate(outs)[:P]

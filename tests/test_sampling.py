@@ -131,6 +131,29 @@ def test_ddim_reverse_inverts_forward():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x0), rtol=5e-2)
 
 
+def test_segmented_chain_equals_monolithic():
+    """sample_chain_segment runs compose bit-identically to p_sample_loop
+    (per-step keys fold on t) — the relay-watchdog-safe execution mode."""
+    from ddpm3d_tpu.diffusion import sample_chain_segment
+
+    sched, cfg = _setup()
+    model = lambda x, t, **kw: jnp.tanh(x) * 0.1
+    key = jax.random.key(3)
+    ids = jnp.arange(1, dtype=jnp.int32)
+    noise = jax.random.normal(jax.random.key(9), SHAPE)
+    mono = p_sample_loop(key, model, sched, cfg, noise=noise, sample_ids=ids)
+    img = noise
+    t_cur = T
+    while t_cur > 0:
+        n = min(3, t_cur)
+        img = sample_chain_segment(
+            key, model, sched, cfg, img, jnp.asarray(t_cur, jnp.int32), n,
+            sample_ids=ids,
+        )
+        t_cur -= n
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(mono))
+
+
 def test_p_sample_loop_jits_once():
     """The whole chain must be jittable as one program."""
     sched, cfg = _setup()
