@@ -42,6 +42,17 @@ from ..parallel import mesh as pmesh
 from ..utils import logger
 
 
+def log_stage_stats(stage: str, arr: np.ndarray) -> None:
+    """min/max/mean/std line after each pipeline stage — the backup
+    script's stage-by-stage instrumentation (test_backup.py:61,81,104,
+    140,168,207), kept in the active pipeline as debugging/parity aid."""
+    a = np.asarray(arr)
+    logger.log(
+        f"[stage:{stage}] shape={tuple(a.shape)} min={a.min():.4f} "
+        f"max={a.max():.4f} mean={a.mean():.4f} std={a.std():.4f}"
+    )
+
+
 def load_volume_for_denoising(
     path: str, enforce_contract: bool = True
 ) -> np.ndarray:
@@ -67,7 +78,9 @@ def load_volume_for_denoising(
             f"Expected 200x200 XY dimensions, got {H}x{W}"
         )
         assert 90 <= D <= 130, f"Expected Z dimension 90-130, got {D}"
-    return vol.astype(np.float32)
+    vol = vol.astype(np.float32)
+    log_stage_stats("load", vol)
+    return vol
 
 
 def denoise_patches(
@@ -227,6 +240,7 @@ def denoise_volume(
     )
 
     low = extract_patches_zxy(volume_zxy, grid, patch_size)  # [P,Z,X,Y]
+    log_stage_stats("patches", low)
 
     def one_draw(draw_key):
         denoised = denoise_patches(
@@ -237,6 +251,7 @@ def denoise_volume(
                 f"denoised {done}/{total} patches"
             ),
         )
+        log_stage_stats("sampled", denoised)
         # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
         patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
         if blend == "count":
@@ -256,6 +271,7 @@ def denoise_volume(
         draws.append(one_draw(jax.random.fold_in(key, 1000003 + s)))
     result = np.mean(draws, axis=0) if len(draws) > 1 else draws[0]
     uncertainty = np.std(draws, axis=0) if len(draws) > 1 else None
+    log_stage_stats("blended", result)
 
     original_std = float(volume_zxy.std())
     denoised_std = float(result.std())

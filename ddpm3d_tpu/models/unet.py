@@ -205,7 +205,7 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
                 name=name,
             )
         elif isinstance(spec, AttnSpec):
-            m = AttentionBlock(
+            m = cfg.get("attn_cls", AttentionBlock)(
                 num_heads=spec.num_heads,
                 use_new_attention_order=cfg["use_new_attention_order"],
                 dtype=cfg["dtype"],
@@ -286,6 +286,9 @@ class UNetModel(fnn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_new_attention_order=self.use_new_attention_order,
             res_cls=res_cls,
+            # the reference checkpoints attention unconditionally
+            # (unet.py:297) — its O(T^2) weights dominate activation memory
+            attn_cls=fnn.remat(AttentionBlock),
         )
 
     @fnn.compact
@@ -477,6 +480,7 @@ class EncoderUNetModel(fnn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_new_attention_order=self.use_new_attention_order,
             res_cls=res_cls,
+            attn_cls=fnn.remat(AttentionBlock),  # hardwired, unet.py:297
         )
 
     @fnn.compact

