@@ -48,14 +48,22 @@ def p_sample(
     cond_fn=None,
     model_kwargs: Optional[Dict[str, Any]] = None,
     sample_ids: Optional[jnp.ndarray] = None,
+    noise_override: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """One DDPM ancestral step x_t -> x_{t-1} (reference gd.py:395-439)."""
+    """One DDPM ancestral step x_t -> x_{t-1} (reference gd.py:395-439).
+
+    ``noise_override`` replaces the key-derived step noise — the exact-parity
+    path for matching an external RNG stream (e.g. the reference's torch
+    global RNG, gd.py:430)."""
     out = process.p_mean_variance(
         model_fn, sched, cfg, x, t,
         clip_denoised=clip_denoised, denoised_fn=denoised_fn,
         model_kwargs=model_kwargs,
     )
-    noise = _step_noise(key, x, sample_ids)
+    noise = (
+        noise_override if noise_override is not None
+        else _step_noise(key, x, sample_ids)
+    )
     nonzero_mask = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
     if cond_fn is not None:
         out["mean"] = process.condition_mean(
@@ -78,6 +86,7 @@ def ddim_sample(
     model_kwargs: Optional[Dict[str, Any]] = None,
     eta: float = 0.0,
     sample_ids: Optional[jnp.ndarray] = None,
+    noise_override: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One DDIM step (reference gd.py:537-585)."""
     out = process.p_mean_variance(
@@ -98,7 +107,10 @@ def ddim_sample(
         * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
         * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
     )
-    noise = _step_noise(key, x, sample_ids)
+    noise = (
+        noise_override if noise_override is not None
+        else _step_noise(key, x, sample_ids)
+    )
     mean_pred = (
         out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(1.0 - alpha_bar_prev - sigma ** 2) * eps
@@ -138,23 +150,34 @@ def ddim_reverse_sample(
 
 
 def _scan_loop(step_fn, key, noise, num_steps, return_intermediates,
-               t_hi=None, t_lo=0):
+               t_hi=None, t_lo=0, noise_stream=None):
     """Run reverse steps t_hi-1 .. t_lo as a single lax.scan.
 
     Per-step keys are ``fold_in(key, t)``, so running the chain in segments
     (several calls covering [t_hi, t_lo) ranges) is bit-identical to one
-    monolithic scan."""
+    monolithic scan.
+
+    ``noise_stream`` ([n_steps, *x.shape], ordered t_hi-1 .. t_lo) scans an
+    explicit per-step noise next to the timesteps — the external-RNG parity
+    path."""
     if t_hi is None:
         t_hi = num_steps
 
-    def body(img, t_scalar):
+    def body(img, xs):
+        t_scalar, step_noise = xs
         step_key = jax.random.fold_in(key, t_scalar)
-        out = step_fn(step_key, img, t_scalar)
+        out = step_fn(step_key, img, t_scalar, step_noise)
         y = out["sample"] if return_intermediates else None
         return out["sample"], y
 
     ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
-    final, ys = jax.lax.scan(body, noise, ts)
+    if noise_stream is None:
+        stream = jnp.zeros((ts.shape[0], 0))  # unused placeholder
+        final, ys = jax.lax.scan(
+            lambda img, xs: body(img, (xs[0], None)), noise, (ts, stream)
+        )
+    else:
+        final, ys = jax.lax.scan(body, noise, (ts, noise_stream))
     return (final, ys) if return_intermediates else final
 
 
@@ -173,9 +196,14 @@ def p_sample_loop(
     sample_ids: Optional[jnp.ndarray] = None,
     t_hi: Optional[int] = None,
     t_lo: int = 0,
+    noise_stream: Optional[jnp.ndarray] = None,
 ):
     """Full DDPM ancestral sampling chain compiled to one XLA program
     (replaces the Python loop of reference gd.py:441-535).
+
+    ``noise_stream`` ([n_steps, *shape], ordered t=T-1..0) supplies explicit
+    per-step noises, matching an external RNG stream exactly (parity with
+    the reference's torch-global-RNG draws, gd.py:430).
 
     ``t_hi``/``t_lo`` run only the [t_hi-1 .. t_lo] segment of the chain
     (``noise`` is then x_{t_hi}); segment runs compose bit-identically to
@@ -195,18 +223,18 @@ def p_sample_loop(
 
     B = noise.shape[0]
 
-    def step(step_key, img, t_scalar):
+    def step(step_key, img, t_scalar, step_noise=None):
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
         return p_sample(
             step_key, model_fn, sched, cfg, img, t,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, model_kwargs=model_kwargs,
-            sample_ids=sample_ids,
+            sample_ids=sample_ids, noise_override=step_noise,
         )
 
     return _scan_loop(
         step, key, noise, sched.num_timesteps, return_intermediates,
-        t_hi=t_hi, t_lo=t_lo,
+        t_hi=t_hi, t_lo=t_lo, noise_stream=noise_stream,
     )
 
 
@@ -309,6 +337,7 @@ def ddim_sample_loop(
     sample_ids: Optional[jnp.ndarray] = None,
     t_hi: Optional[int] = None,
     t_lo: int = 0,
+    noise_stream: Optional[jnp.ndarray] = None,
 ):
     """Full DDIM chain as one XLA program (reference gd.py:625-707)."""
     if noise is None:
@@ -320,16 +349,16 @@ def ddim_sample_loop(
 
     B = noise.shape[0]
 
-    def step(step_key, img, t_scalar):
+    def step(step_key, img, t_scalar, step_noise=None):
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
         return ddim_sample(
             step_key, model_fn, sched, cfg, img, t,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, model_kwargs=model_kwargs, eta=eta,
-            sample_ids=sample_ids,
+            sample_ids=sample_ids, noise_override=step_noise,
         )
 
     return _scan_loop(
         step, key, noise, sched.num_timesteps, return_intermediates,
-        t_hi=t_hi, t_lo=t_lo,
+        t_hi=t_hi, t_lo=t_lo, noise_stream=noise_stream,
     )

@@ -97,6 +97,7 @@ def denoise_patches(
     mesh=None,
     per_device_batch: Optional[int] = None,
     noise: Optional[np.ndarray] = None,
+    noise_stream: Optional[np.ndarray] = None,
     progress_cb=None,
     segment_steps: Optional[int] = 100,
 ) -> np.ndarray:
@@ -112,6 +113,11 @@ def denoise_patches(
     (bit-identical to one monolithic scan — per-step keys fold on t); this
     keeps single executions under relay/watchdog limits. ``None`` or a value
     >= the chain length runs monolithically.
+
+    ``noise_stream`` ([P, T, Z, X, Y], ordered t=T-1..0) supplies explicit
+    per-step noises per patch — the external-RNG parity path for matching
+    the reference's torch-global-RNG chain exactly (requires ``noise`` for
+    x_T too; runs monolithically).
     """
     mesh = mesh if mesh is not None else pmesh.make_mesh()
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -161,6 +167,15 @@ def denoise_patches(
         noise = np.concatenate(
             [noise, noise[-1:].repeat(pad, axis=0)] if pad else [noise]
         )[..., None]
+    if noise_stream is not None:
+        assert noise is not None, "noise_stream requires explicit x_T noise"
+        assert noise_stream.shape[1] == T, (
+            f"noise_stream has {noise_stream.shape[1]} steps, chain has {T}"
+        )
+        noise_stream = np.concatenate(
+            [noise_stream, noise_stream[-1:].repeat(pad, axis=0)]
+            if pad else [noise_stream]
+        )[..., None]
 
     outs = []
     for start in range(0, padded, chunk):
@@ -179,14 +194,37 @@ def denoise_patches(
             else None
         )
         img = init_noise(key, low_chunk, noise_chunk, ids)
-        t_cur = T
-        while t_cur > 0:
-            n_steps = min(seg, t_cur)
-            img = jitted_segment(
-                params, key, img, low_chunk, ids,
-                jnp.asarray(t_cur, jnp.int32), n_steps,
+        if noise_stream is not None:
+            # external-RNG parity path: one monolithic loop with the
+            # explicit [T, B, ...] per-step noise stream
+            from ..diffusion.sampling import ddim_sample_loop, p_sample_loop
+
+            stream = jnp.asarray(
+                np.swapaxes(noise_stream[start : start + chunk], 0, 1)
             )
-            t_cur -= n_steps
+
+            def run_stream(params, img, low_chunk, stream):
+                model_fn = lambda x, t, **kw: model_apply(
+                    {"params": params}, x, t, **kw)
+                loop = ddim_sample_loop if use_ddim else p_sample_loop
+                kw = {"eta": eta} if use_ddim else {}
+                return loop(
+                    key, model_fn, sched, cfg, noise=img,
+                    clip_denoised=clip_denoised,
+                    model_kwargs={"low_res": low_chunk},
+                    noise_stream=stream, **kw,
+                )
+
+            img = jax.jit(run_stream)(params, img, low_chunk, stream)
+        else:
+            t_cur = T
+            while t_cur > 0:
+                n_steps = min(seg, t_cur)
+                img = jitted_segment(
+                    params, key, img, low_chunk, ids,
+                    jnp.asarray(t_cur, jnp.int32), n_steps,
+                )
+                t_cur -= n_steps
         outs.append(np.asarray(jax.device_get(img))[..., 0])
         if progress_cb is not None:
             progress_cb(min(start + chunk, P), P)
@@ -211,6 +249,8 @@ def denoise_volume(
     blend: str = "hann",
     normalize_div4: bool = False,
     num_samples: int = 1,
+    noise: Optional[np.ndarray] = None,
+    noise_stream: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Denoise a whole (Z, H, W) volume; returns ((H, W, Z) result, stats).
 
@@ -247,6 +287,7 @@ def denoise_volume(
             draw_key, model_apply, params, sched, cfg, low,
             use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
             mesh=mesh, per_device_batch=per_device_batch,
+            noise=noise, noise_stream=noise_stream,
             progress_cb=lambda done, total: logger.log(
                 f"denoised {done}/{total} patches"
             ),

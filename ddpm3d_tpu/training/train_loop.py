@@ -51,6 +51,8 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema_params: Tuple[Any, ...]            # one pytree per EMA rate
     sampler_state: Optional[LossSecondMomentState]
+    # f32 scalar, only with fp16 dynamic loss scaling (fp16_util.py:165)
+    lg_loss_scale: Optional[jnp.ndarray] = None
 
 
 def make_optimizer(
@@ -85,15 +87,24 @@ def make_train_step(
     schedule_sampler: str = "uniform",
     microbatch: int = 0,
     dropout: bool = False,
+    fp16_scaling: bool = False,
+    fp16_scale_growth: float = 1e-3,
 ):
     """Build the pure train_step(state, batch, cond, key) -> (state, metrics).
 
     ``batch``/``cond['low_res']`` are NDHWC [B, D, H, W, 1]; with microbatch
     m > 0 and B % m == 0, gradients accumulate over B/m scan iterations
-    (averaged, matching the reference's repeated backward())."""
+    (averaged, matching the reference's repeated backward()).
+
+    ``fp16_scaling`` enables dynamic loss scaling with the reference's exact
+    policy (fp16_util.py:176-208): loss scaled by 2^lg before backward,
+    grads unscaled before the update; non-finite grads drop lg by 1 and skip
+    the step, otherwise lg grows by ``fp16_scale_growth`` per step. bf16
+    training does not need this (the default path); the switch exists for
+    float16-torso models, matching the reference capability."""
     use_lsm = schedule_sampler == "loss-second-moment"
 
-    def loss_for(params, key, x, mkwargs, t, weights):
+    def loss_for(params, key, x, mkwargs, t, weights, loss_scale):
         noise_key, drop_key = jax.random.split(key)
 
         def model_fn(xx, tt, **kw):
@@ -105,7 +116,7 @@ def make_train_step(
         terms = training_losses(
             noise_key, model_fn, sched, cfg, x, t, model_kwargs=mkwargs
         )
-        loss = jnp.mean(terms["loss"] * weights)
+        loss = jnp.mean(terms["loss"] * weights) * loss_scale
         return loss, terms
 
     def train_step(state: TrainState, batch, cond, key):
@@ -118,11 +129,15 @@ def make_train_step(
             t, weights = sample_uniform(t_key, sched.num_timesteps, B)
 
         grad_fn = jax.grad(loss_for, has_aux=True)
+        if fp16_scaling:
+            loss_scale = jnp.exp2(state.lg_loss_scale)
+        else:
+            loss_scale = jnp.float32(1.0)
 
         m = microbatch if microbatch and microbatch > 0 else B
         if m >= B:
             grads, terms = grad_fn(
-                state.params, loss_key, batch, cond, t, weights
+                state.params, loss_key, batch, cond, t, weights, loss_scale
             )
         else:
             assert B % m == 0, f"batch {B} not divisible by microbatch {m}"
@@ -137,7 +152,7 @@ def make_train_step(
                 g, terms_i = grad_fn(
                     state.params,
                     jax.random.fold_in(loss_key, idx),
-                    xb, cb, tb, wb,
+                    xb, cb, tb, wb, loss_scale,
                 )
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
                 return acc, terms_i
@@ -151,6 +166,13 @@ def make_train_step(
                 lambda x: x.reshape((B,) + x.shape[2:]), terms_stack
             )
 
+        if fp16_scaling:
+            # unscale before the update; norms reported on unscaled grads
+            # (the reference divides its logged norm by 2^lg the same way,
+            # fp16_util.py:217-222)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32) / loss_scale, grads
+            )
         grad_norm = _global_norm(grads)
         param_norm = _global_norm(state.params)
         finite = jnp.isfinite(grad_norm)
@@ -187,12 +209,24 @@ def make_train_step(
                 state.sampler_state, t, jax.lax.stop_gradient(terms["loss"])
             )
 
+        new_lg = state.lg_loss_scale
+        if fp16_scaling:
+            # backoff-by-1 on overflow, slow growth otherwise
+            # (fp16_util.py:193-208)
+            new_lg = jnp.where(
+                finite,
+                state.lg_loss_scale + fp16_scale_growth,
+                state.lg_loss_scale - 1.0,
+            )
+
         metrics = {
             "grad_norm": grad_norm,
             "param_norm": param_norm,
             "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
             "t": t,
         }
+        if fp16_scaling:
+            metrics["lg_loss_scale"] = new_lg
         for k, v in terms.items():
             metrics[k] = v * weights
 
@@ -202,6 +236,7 @@ def make_train_step(
             opt_state=new_opt_state,
             ema_params=new_ema,
             sampler_state=new_sampler_state,
+            lg_loss_scale=new_lg,
         )
         return new_state, metrics
 
@@ -236,7 +271,10 @@ class TrainLoop:
         save_interval: int,
         resume_checkpoint: str = "",
         use_fp16: bool = True,  # accepted for CLI parity; bf16 is implied
-        fp16_scale_growth: float = 1e-3,  # unused; kept for CLI parity
+        fp16_scale_growth: float = 1e-3,
+        # opt-in float16 dynamic loss scaling (reference fp16_util.py
+        # capability); bf16 (the TPU default) does not need it
+        use_fp16_scaling: bool = False,
         schedule_sampler: str = "uniform",
         weight_decay: float = 0.0,
         lr_anneal_steps: int = 0,
@@ -286,6 +324,7 @@ class TrainLoop:
         self.global_batch = self.batch_size
 
         self.resume_step = 0
+        self.use_fp16_scaling = use_fp16_scaling
         self.optimizer = make_optimizer(lr, weight_decay, lr_anneal_steps)
         if example_batch is None:
             example_batch, example_cond = next(self.data)
@@ -300,6 +339,8 @@ class TrainLoop:
             schedule_sampler=schedule_sampler,
             microbatch=self.microbatch if self.microbatch < batch_size else 0,
             dropout=getattr(model, "dropout", 0.0) > 0,
+            fp16_scaling=use_fp16_scaling,
+            fp16_scale_growth=fp16_scale_growth,
         )
         self._jitted = jax.jit(self.train_step_fn, donate_argnums=(0,))
         self.step = 0
@@ -366,6 +407,10 @@ class TrainLoop:
             opt_state=opt_state,
             ema_params=tuple(ema_params),
             sampler_state=sampler_state,
+            lg_loss_scale=(
+                jnp.asarray(INITIAL_LOG_LOSS_SCALE, jnp.float32)
+                if self.use_fp16_scaling else None
+            ),
         )
         self.state = pmesh.replicate(self.mesh, state)
 
@@ -406,6 +451,8 @@ class TrainLoop:
         ts = metrics.pop("t")
         logger.logkv_mean("grad_norm", float(metrics.pop("grad_norm")))
         logger.logkv_mean("param_norm", float(metrics.pop("param_norm")))
+        if "lg_loss_scale" in metrics:
+            logger.logkv("lg_loss_scale", float(metrics.pop("lg_loss_scale")))
         skipped = float(metrics.pop("skipped_nonfinite"))
         if skipped:
             logger.log("Found non-finite grads; skipped optimizer step")

@@ -9,11 +9,14 @@ semantics, and can also ingest the reference's ``.pt`` files via
 
 Orbax is used when available for async checkpointing of large sharded
 states; the msgpack path has no dependencies and is the portable default.
+
+All paths go through :mod:`ddpm3d_tpu.utils.blobio`, so checkpoint
+directories may live on blob storage (``gs://...``, ``mem://...``) exactly
+like the reference's blobfile-backed writes (train_util.py:250-276).
 """
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 import re
 from typing import Any, Dict, List, Optional
@@ -21,6 +24,8 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 from flax import serialization
+
+from . import blobio
 
 
 def parse_resume_step_from_filename(filename: str) -> int:
@@ -41,19 +46,19 @@ def find_ema_checkpoint(
     """(reference train_util.py:306-313)"""
     if main_checkpoint is None:
         return None
-    base = osp.dirname(main_checkpoint)
+    base = blobio.dirname(main_checkpoint)
     for ext in (".msgpack", ".pt"):
-        path = osp.join(base, f"ema_{rate}_{step:06d}{ext}")
-        if osp.exists(path):
+        path = blobio.join(base, f"ema_{rate}_{step:06d}{ext}")
+        if blobio.exists(path):
             return path
     return None
 
 
 def find_opt_checkpoint(main_checkpoint: str, step: int) -> Optional[str]:
-    base = osp.dirname(main_checkpoint)
+    base = blobio.dirname(main_checkpoint)
     for ext in (".msgpack", ".pt"):
-        path = osp.join(base, f"opt{step:06d}{ext}")
-        if osp.exists(path):
+        path = blobio.join(base, f"opt{step:06d}{ext}")
+        if blobio.exists(path):
             return path
     return None
 
@@ -64,26 +69,21 @@ def _to_host(tree):
 
 def save_pytree(path: str, tree: Any) -> None:
     """Serialize a pytree; only process 0 writes (single-writer policy,
-    reference train_util.py:253-267)."""
+    reference train_util.py:253-267). ``path`` may be a blob URL."""
     if jax.process_index() != 0:
         return
-    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
     data = serialization.to_bytes(_to_host(tree))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    blobio.write_bytes(path, data)
 
 
 def load_pytree(path: str, target: Any = None) -> Any:
     """Restore a pytree. ``.pt`` files go through the torch importer so
-    reference checkpoints load transparently."""
+    reference checkpoints load transparently. ``path`` may be a blob URL."""
     if path.endswith(".pt"):
         from .torch_import import load_torch_checkpoint
 
         return load_torch_checkpoint(path)
-    with open(path, "rb") as f:
-        data = f.read()
+    data = blobio.read_bytes(path)
     if target is not None:
         return serialization.from_bytes(target, data)
     # state_dict restore without a target: raw nested dict of ndarrays
@@ -101,14 +101,14 @@ def save_train_checkpoint(
 
     ``ema_params`` maps rate-string -> pytree (one file per rate)."""
     written = []
-    model_path = osp.join(directory, f"model{step:06d}.msgpack")
+    model_path = blobio.join(directory, f"model{step:06d}.msgpack")
     save_pytree(model_path, params)
     written.append(model_path)
     for rate, tree in ema_params.items():
-        p = osp.join(directory, f"ema_{rate}_{step:06d}.msgpack")
+        p = blobio.join(directory, f"ema_{rate}_{step:06d}.msgpack")
         save_pytree(p, tree)
         written.append(p)
-    opt_path = osp.join(directory, f"opt{step:06d}.msgpack")
+    opt_path = blobio.join(directory, f"opt{step:06d}.msgpack")
     save_pytree(opt_path, opt_state)
     written.append(opt_path)
     return written
@@ -117,13 +117,13 @@ def save_train_checkpoint(
 def latest_checkpoint(directory: str) -> Optional[str]:
     """Find the newest model checkpoint in a run directory (the auto-resume
     hook the reference leaves unimplemented, train_util.py:300-303)."""
-    if not osp.isdir(directory):
+    if not directory or not blobio.isdir(directory):
         return None
     best = None
     best_step = -1
-    for name in os.listdir(directory):
+    for name in blobio.listdir(directory):
         m = re.fullmatch(r"model(\d+)\.(msgpack|pt)", name)
         if m and int(m.group(1)) > best_step:
             best_step = int(m.group(1))
-            best = osp.join(directory, name)
+            best = blobio.join(directory, name)
     return best

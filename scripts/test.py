@@ -71,6 +71,36 @@ def main():
     key = jax.random.key(args.seed)
     logger.log(f"Fixed seed set to {args.seed}")
 
+    # Exact-parity path: replicate the reference's torch global-RNG noise
+    # stream (scripts/test.py:44-49,62 + gd.py:430 draw order: per patch,
+    # x_T then one draw per reverse step) and inject it into the chain.
+    noise = noise_stream = None
+    if args.torch_noise_seed >= 0:
+        import torch as th
+
+        from ddpm3d_tpu.data.patches import (
+            patch_grid, test_xy_starts, test_z_starts,
+        )
+
+        Z, H, W = vol.shape
+        ps = args.large_size
+        n_patches = len(patch_grid(
+            test_xy_starts(H, ps, 3), test_xy_starts(W, ps, 3),
+            test_z_starts(Z, ps),
+        ))
+        T = sched.num_timesteps
+        th.manual_seed(args.torch_noise_seed)
+        noise = np.empty((n_patches, ps, ps, ps), np.float32)
+        noise_stream = np.empty((n_patches, T, ps, ps, ps), np.float32)
+        for i in range(n_patches):
+            noise[i] = th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
+            for j in range(T):
+                noise_stream[i, j] = th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
+        logger.log(
+            f"torch-matched noise stream: seed {args.torch_noise_seed}, "
+            f"{n_patches} patches x {T} steps"
+        )
+
     logger.log("creating samples...")
     result, stats = denoise_volume(
         key,
@@ -79,6 +109,8 @@ def main():
         sched,
         cfg,
         vol,
+        noise=noise,
+        noise_stream=noise_stream,
         patch_size=args.large_size,
         use_ddim=args.use_ddim,
         eta=args.eta,
@@ -121,6 +153,9 @@ def create_argparser():
         base_samples="",
         model_path="",
         seed=10,
+        # >=0: replicate the reference's torch-global-RNG noise stream for
+        # exact output parity (tools/parity_pipeline.py)
+        torch_noise_seed=-1,
         # backup-script variants (reference scripts/test_backup.py):
         blend="hann",          # hann | count (tb:118-167)
         normalize_div4=False,  # clip@4 then /4 input scaling (tb:266-267)

@@ -68,6 +68,7 @@ def main():
         resume_checkpoint=args.resume_checkpoint,
         use_fp16=args.use_fp16,
         fp16_scale_growth=args.fp16_scale_growth,
+        use_fp16_scaling=args.use_fp16_scaling,
         schedule_sampler=args.schedule_sampler,
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
@@ -91,6 +92,9 @@ def create_argparser():
         resume_checkpoint="",
         use_fp16=True,
         fp16_scale_growth=1e-3,
+        # opt-in float16 torso + dynamic loss scaling (fp16_util.py:148-233);
+        # the bf16 default needs no scaling
+        use_fp16_scaling=False,
         result_folder=None,
         auto_resume=False,  # pick up the newest checkpoint in result_folder
     )

@@ -203,3 +203,66 @@ def test_nonfinite_grad_skips_update(rng):
     assert float(metrics["skipped_nonfinite"]) == 1.0
     p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     np.testing.assert_array_equal(p0, p1)
+
+
+def _setup_fp16_step(growth=1e-3):
+    model = _model()
+    sched = make_schedule(_betas())
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=T,
+    )
+    x = jnp.zeros(SHAPE)
+    params = model.init(
+        jax.random.key(0), x, jnp.zeros((2,), jnp.int32), low_res=x
+    )["params"]
+    opt = make_optimizer(1e-3, 0.0, 0)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=opt.init(params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params),),
+        sampler_state=None,
+        lg_loss_scale=jnp.asarray(20.0, jnp.float32),
+    )
+    step_fn = make_train_step(
+        model.apply, sched, cfg, opt, (0.99,),
+        fp16_scaling=True, fp16_scale_growth=growth,
+    )
+    return state, jax.jit(step_fn)
+
+
+def test_fp16_scaling_growth_and_equivalence(rng):
+    """Finite steps grow lg by the growth rate (fp16_util.py:208) and the
+    scaled update matches the unscaled one (scale cancels exactly)."""
+    state_fp16, step_fp16 = _setup_fp16_step(growth=1e-3)
+    state_ref, step_ref, _ = _setup_step()
+    batch, cond = _batch(rng)
+    key = jax.random.key(0)
+    s1, m1 = step_fp16(state_fp16, batch, cond, key)
+    s2, m2 = step_ref(state_ref, batch, cond, key)
+    assert abs(float(s1.lg_loss_scale) - 20.001) < 1e-6
+    assert float(m1["skipped_nonfinite"]) == 0.0
+    # 2^20-scaled loss backward then unscale == unscaled backward (to f32
+    # rounding of the two gradient paths)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    p1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+def test_fp16_scaling_backoff_on_overflow(rng):
+    """Non-finite grads drop lg by 1 and skip the update
+    (fp16_util.py:193-197)."""
+    state, step = _setup_fp16_step()
+    batch, cond = _batch(rng)
+    bad = jnp.full_like(batch, jnp.nan)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state, metrics = step(state, bad, cond, jax.random.key(0))
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    assert abs(float(state.lg_loss_scale) - 19.0) < 1e-6
+    np.testing.assert_array_equal(
+        p0, np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    )

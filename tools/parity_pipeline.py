@@ -1,0 +1,213 @@
+"""End-to-end whole-volume output parity vs the reference's ACTUAL
+inference script.
+
+Runs /root/reference/scripts/test.py (single rank, CPU, in-process with
+stubbed unavailable deps) and this repo's scripts/test.py on the SAME
+synthetic 200x200x105 TIFF with SHARED weights (reference .pt imported) and
+a MATCHED noise stream (our --torch_noise_seed replicates the reference's
+torch-global-RNG draw order: per patch x_T then one randn per reverse
+step, reference scripts/test.py:44-62 + gd.py:430), then diffs the blended
+.npz volumes. This is the strongest form of the BASELINE.md parity
+definition: identical seeded inputs through both frameworks' full
+pipelines (load -> patch grid -> DDPM chain -> Hann blend -> .npz/.tif).
+
+The reference environment deps that are absent here (mpi4py, tifffile,
+blobfile) are stubbed in-memory at single-rank semantics; no reference
+code is modified or copied.
+
+Run: python tools/parity_pipeline.py  (takes several minutes on CPU)
+"""
+
+import importlib.util
+import io
+import json
+import os
+import subprocess
+import sys
+import types
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REFERENCE = "/root/reference"
+WORK = "/tmp/parity_pipeline"
+
+sys.path.insert(0, REPO)
+
+# this process only needs torch + numpy; keep any (possibly pre-imported)
+# jax off the TPU so concurrent TPU work is unaffected
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+RESPACE = "10"  # 10-step DDPM keeps the CPU reference run to minutes
+MODEL_FLAGS = {
+    "large_size": 64, "small_size": 64, "num_channels": 32,
+    "num_res_blocks": 1, "learn_sigma": True, "class_cond": False,
+    "attention_resolutions": "1000", "use_scale_shift_norm": True,
+    "resblock_updown": True, "use_fp16": False, "diffusion_steps": 1000,
+    "noise_schedule": "linear", "timestep_respacing": RESPACE,
+}
+
+
+def install_stubs():
+    """Single-rank stubs for the reference's absent deps."""
+    from ddpm3d_tpu.data import tiff_io
+
+    tiff = types.ModuleType("tifffile")
+    tiff.imread = tiff_io.imread
+    tiff.imwrite = lambda path, data: tiff_io.imwrite(path, data)
+    sys.modules["tifffile"] = tiff
+
+    class _Comm:
+        rank, size = 0, 1
+
+        def Get_rank(self):
+            return 0
+
+        def Get_size(self):
+            return 1
+
+        def bcast(self, obj, root=0):
+            return obj
+
+        def barrier(self):
+            pass
+
+    mpi4py = types.ModuleType("mpi4py")
+    mpi_mod = types.ModuleType("mpi4py.MPI")
+    mpi_mod.COMM_WORLD = _Comm()
+    mpi4py.MPI = mpi_mod
+    sys.modules["mpi4py"] = mpi4py
+    sys.modules["mpi4py.MPI"] = mpi_mod
+
+    blobfile = types.ModuleType("blobfile")
+    blobfile.BlobFile = lambda path, mode="rb": open(path, mode)
+    sys.modules["blobfile"] = blobfile
+
+
+def make_volume(path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    Z, H, W = 105, 200, 200
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, Z), np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+        indexing="ij",
+    )
+    vol = np.zeros((Z, H, W), np.float32)
+    for _ in range(12):
+        cz, cy, cx = rng.uniform(-0.7, 0.7, 3)
+        s = rng.uniform(0.1, 0.4)
+        a = rng.uniform(0.5, 2.0)
+        vol += a * np.exp(
+            -(((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+        ).astype(np.float32)
+    vol += rng.normal(0, 0.2, vol.shape).astype(np.float32)
+    from ddpm3d_tpu.data import tiff_io
+
+    tiff_io.imwrite(path, vol.astype(np.float32))
+    return vol
+
+
+def run_reference(model_path, vol_path, out_dir):
+    install_stubs()
+    sys.path.insert(0, REFERENCE)
+    import torch as th
+
+    # import the reference inference script by file path
+    spec = importlib.util.spec_from_file_location(
+        "ref_test", os.path.join(REFERENCE, "scripts", "test.py")
+    )
+    ref_test = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_test)
+
+    argv = ["test.py", "--base_samples", vol_path, "--model_path", model_path,
+            "--save_dir", out_dir]
+    for k, v in MODEL_FLAGS.items():
+        argv += [f"--{k}", str(v)]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        ref_test.main()
+    finally:
+        sys.argv = old_argv
+
+
+def make_reference_model(model_path):
+    """Create the tiny torch model through the reference factory and save
+    its (randomly initialised, seeded) weights."""
+    sys.path.insert(0, REFERENCE)
+    install_stubs()
+    import torch as th
+    from guided_diffusion.script_util import sr_create_model_and_diffusion
+
+    th.manual_seed(1234)
+    model, _ = sr_create_model_and_diffusion(
+        large_size=64, small_size=64, class_cond=False, learn_sigma=True,
+        num_channels=32, num_res_blocks=1, num_heads=4, num_head_channels=64,
+        num_heads_upsample=-1, attention_resolutions="1000", dropout=0.0,
+        diffusion_steps=1000, noise_schedule="linear",
+        timestep_respacing=RESPACE, use_kl=False, predict_xstart=False,
+        rescale_timesteps=False, rescale_learned_sigmas=False,
+        use_checkpoint=False, use_scale_shift_norm=True,
+        resblock_updown=True, use_fp16=False,
+    )
+    th.save(model.state_dict(), model_path)
+    n = sum(p.numel() for p in model.parameters())
+    print(f"reference model: {n/1e6:.2f}M params -> {model_path}")
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    import numpy as np
+
+    model_path = os.path.join(WORK, "model000000.pt")
+    vol_path = os.path.join(WORK, "input.tif")
+    ref_dir = os.path.join(WORK, "ref_out")
+    our_dir = os.path.join(WORK, "our_out")
+    os.makedirs(ref_dir, exist_ok=True)
+    os.makedirs(our_dir, exist_ok=True)
+
+    make_reference_model(model_path)
+    make_volume(vol_path)
+
+    # ours first, as a subprocess (clean JAX/CPU env; .pt ingested by the
+    # torch importer; matched noise via --torch_noise_seed 10)
+    argv = [sys.executable, os.path.join(REPO, "scripts", "test.py"),
+            "--base_samples", vol_path, "--model_path", model_path,
+            "--save_dir", our_dir, "--torch_noise_seed", "10"]
+    for k, v in MODEL_FLAGS.items():
+        argv += [f"--{k}", str(v)]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    print("running ddpm3d_tpu scripts/test.py (CPU)...", flush=True)
+    subprocess.run(argv, check=True, env=env, cwd=REPO)
+
+    print("running reference scripts/test.py (CPU, single rank)...",
+          flush=True)
+    run_reference(model_path, vol_path, ref_dir)
+
+    ref_npz = np.load(os.path.join(ref_dir, "denoised_input.npz"))["arr_0"]
+    our_npz = np.load(os.path.join(our_dir, "denoised_input.npz"))["arr_0"]
+    assert ref_npz.shape == our_npz.shape, (ref_npz.shape, our_npz.shape)
+    diff = np.abs(ref_npz - our_npz)
+    rng_val = float(ref_npz.max() - ref_npz.min())
+    mse = float(np.mean((ref_npz - our_npz) ** 2))
+    psnr = 10 * np.log10(rng_val ** 2 / mse) if mse > 0 else float("inf")
+    result = {
+        "shape": list(ref_npz.shape),
+        "max_abs_err": float(diff.max()),
+        "mean_abs_err": float(diff.mean()),
+        "psnr_db": round(float(psnr), 2),
+        "ref_range": rng_val,
+    }
+    print(json.dumps(result))
+    ok = result["max_abs_err"] < 1e-2 * max(rng_val, 1.0) and psnr > 55.0
+    print("PIPELINE PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

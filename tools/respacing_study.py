@@ -1,0 +1,235 @@
+"""Quality-vs-steps study: how far can the sampling chain be respaced?
+
+The north-star (<2 min/volume on v5e-8) is unreachable at 1000 full DDPM
+steps even at 100% MXU utilisation (see BENCH notes): batch-1 96^3 x 1000
+steps is ~90 s/patch/chip at speed-of-light. Fewer-step sampling via the
+respacing machinery (schedules.py space_timesteps, the exact semantics of
+reference respace.py:7-60) is therefore a first-class performance lever —
+IF quality holds. This tool quantifies that.
+
+Protocol: train a small conditional denoiser on synthetic paired volumes
+with the PRODUCTION diffusion config (1000-step linear betas, epsilon
+prediction, LEARNED_RANGE variance), then denoise a held-out volume from a
+single matched x_T across respacings {1000, 250, 100, 50, 25} x
+{DDPM, DDIM(eta=0)} and report PSNR/SSIM vs the clean target and vs the
+full 1000-step DDPM output, plus the projected v5e-8 whole-volume time
+(18 patches / 8 chips at the measured flagship per-step cost).
+
+Run: python tools/respacing_study.py [--train_steps N] [--size S]
+Writes RESPACING.json at the repo root and prints a markdown table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+from e2e_learning_check import make_pair
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_steps", type=int, default=3000)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--per_step_ms", type=float, default=None,
+                    help="measured flagship 96^3 per-step ms for the "
+                         "projection column (default: BENCH result 163.8)")
+    ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--save_ckpt", type=str,
+                    default="/tmp/respacing_ckpt.msgpack",
+                    help="save the trained EMA params here for reuse by "
+                         "tools/respacing_debug.py")
+    ap.add_argument("--load_ckpt", type=str, default="",
+                    help="skip training; load EMA params from this file")
+    args = ap.parse_args()
+    per_step_ms = args.per_step_ms or 163.8
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ddpm3d_tpu.diffusion import (
+        DiffusionConfig, LossType, MeanType, VarType,
+        ddim_sample_loop, linear_beta_schedule, make_schedule,
+        make_spaced_schedule, p_sample_loop, space_timesteps,
+    )
+    from ddpm3d_tpu.models import SuperResModel
+    from ddpm3d_tpu.training import TrainState, make_optimizer, make_train_step
+    from ddpm3d_tpu.utils.cache import enable_compilation_cache
+    from ddpm3d_tpu.utils.metrics import psnr, ssim
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    S = args.size
+    shape = (S, S, S)
+
+    # small but production-shaped: scale-shift norm, resblock up/down, no
+    # attention, learn_sigma — the flagship topology at 1/4 width, 2 levels
+    model = SuperResModel(
+        in_channels=1, model_channels=32, out_channels=2, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False, dtype=jnp.bfloat16,
+    )
+    T = 1000
+    betas = linear_beta_schedule(T)  # production schedule (gd.py:27-35)
+    sched = make_schedule(betas)
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=T,
+    )
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        xi = jnp.zeros((1, 2, 16, 16, 1), jnp.float32)
+        params = model.init(
+            jax.random.key(0), xi, jnp.zeros((1,), jnp.int32), low_res=xi
+        )["params"]
+    opt = make_optimizer(args.lr, 0.0, 0)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        opt_state=opt.init(params),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params),),
+        sampler_state=None,
+    )
+    state = jax.device_put(state, jax.devices()[0])
+    ema_rate = min(0.999, 1.0 - 5.0 / args.train_steps)
+    step_fn = jax.jit(
+        make_train_step(model.apply, sched, cfg, opt, (ema_rate,)),
+        donate_argnums=(0,),
+    )
+
+    def scale(v):
+        return v * 2.0 - 1.0
+
+    from ddpm3d_tpu.utils import checkpoint as ckpt_io
+
+    if args.load_ckpt:
+        ema_loaded = ckpt_io.load_pytree(
+            args.load_ckpt, target=state.ema_params[0]
+        )
+        state = state._replace(ema_params=(jax.device_put(
+            ema_loaded, jax.devices()[0]),))
+        print(f"loaded EMA params from {args.load_ckpt}", flush=True)
+    else:
+        train_pairs = [make_pair(rng, shape) for _ in range(64)]
+        t0 = time.time()
+        for step in range(args.train_steps):
+            idx = rng.integers(0, len(train_pairs), size=args.batch)
+            noisy = np.stack([train_pairs[i][0] for i in idx])[..., None]
+            clean = np.stack([train_pairs[i][1] for i in idx])[..., None]
+            state, metrics = step_fn(
+                state, jnp.asarray(scale(clean)),
+                {"low_res": jnp.asarray(scale(noisy))}, jax.random.key(step),
+            )
+            if step % 500 == 0 or step == args.train_steps - 1:
+                print(f"step {step}: loss "
+                      f"{float(np.asarray(metrics['loss']).mean()):.4f}",
+                      flush=True)
+        print(f"train: {time.time()-t0:.1f}s", flush=True)
+        if args.save_ckpt:
+            ckpt_io.save_pytree(
+                args.save_ckpt, jax.device_get(state.ema_params[0])
+            )
+            print(f"saved EMA params to {args.save_ckpt}", flush=True)
+
+    # held-out volumes; ONE matched x_T per volume across every setting
+    evals = [make_pair(np.random.default_rng(123 + i), shape)
+             for i in range(2)]
+    lows = [jnp.asarray(scale(noisy))[None, ..., None]
+            for noisy, _ in evals]
+    x_Ts = [np.asarray(jax.random.normal(
+        jax.random.key(77 + i), (1, S, S, S, 1), jnp.float32))
+        for i in range(len(evals))]
+    ema = state.ema_params[0]
+
+    def sample(respace, use_ddim, low, x_T):
+        if respace == "1000":
+            sp = sched
+        else:
+            sec = f"ddim{respace[4:]}" if respace.startswith("ddim") else respace
+            sp = make_spaced_schedule(betas, sorted(space_timesteps(T, sec)))
+
+        def run(params, key, low, noise):
+            model_fn = lambda x, t, **kw: model.apply(
+                {"params": params}, x, t, **kw)
+            loop = ddim_sample_loop if use_ddim else p_sample_loop
+            kw = {"eta": 0.0} if use_ddim else {}
+            return loop(key, model_fn, sp, cfg, noise=noise,
+                        model_kwargs={"low_res": low}, **kw)
+
+        out = jax.jit(run)(ema, jax.random.key(7), low, jnp.asarray(x_T))
+        return np.clip((np.asarray(out)[0, ..., 0] + 1.0) / 2.0, 0, 1)
+
+    settings = []
+    for n in (1000, 250, 100, 50, 25):
+        settings.append((f"ddpm{n}", str(n) if n < 1000 else "1000", False))
+    for n in (250, 100, 50, 25):
+        settings.append((f"ddim{n}", f"ddim{n}", True))
+
+    ref_outs = [None] * len(evals)
+    rows = []
+    p_noisy = float(np.mean(
+        [psnr(c, n, data_range=1.0) for n, c in evals]))
+    s_noisy = float(np.mean(
+        [ssim(c, n, data_range=1.0) for n, c in evals]))
+    for name, respace, use_ddim in settings:
+        t0 = time.time()
+        pc, sc, pr, sr = [], [], [], []
+        for i, (noisy, clean) in enumerate(evals):
+            out = sample(respace, use_ddim, lows[i], x_Ts[i])
+            if ref_outs[i] is None:
+                ref_outs[i] = out  # ddpm1000 is the reference output
+            pc.append(psnr(clean, out, data_range=1.0))
+            sc.append(ssim(clean, out, data_range=1.0))
+            pr.append(psnr(ref_outs[i], out, data_range=1.0))
+            sr.append(ssim(ref_outs[i], out, data_range=1.0))
+        dt = time.time() - t0
+        steps = int(name.replace("ddpm", "").replace("ddim", ""))
+        # projection: 18 patches / 8 chips at the measured flagship step cost
+        proj_s = steps * per_step_ms / 1000.0 * 18 / 8
+        rows.append({
+            "setting": name, "steps": steps,
+            "psnr_vs_clean_db": round(float(np.mean(pc)), 2),
+            "ssim_vs_clean": round(float(np.mean(sc)), 4),
+            "psnr_vs_ddpm1000_db": round(float(np.mean(pr)), 2),
+            "ssim_vs_ddpm1000": round(float(np.mean(sr)), 4),
+            "projected_v5e8_volume_s": round(proj_s, 1),
+        })
+        print(f"{name}: {rows[-1]}  ({dt:.1f}s wall)", flush=True)
+
+    result = {
+        "protocol": {
+            "model": "SuperResModel 32ch (1,2) noatt, learn_sigma",
+            "train_steps": args.train_steps, "patch": S,
+            "diffusion": "1000-step linear, epsilon, LEARNED_RANGE",
+            "matched_x_T": True, "flagship_per_step_ms": per_step_ms,
+        },
+        "noisy_input": {"psnr_db": round(p_noisy, 2),
+                        "ssim": round(s_noisy, 4)},
+        "rows": rows,
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "..", "RESPACING.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print("\n| setting | steps | PSNR vs clean | SSIM vs clean | "
+          "PSNR vs ddpm1000 | projected v5e-8 volume |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['setting']} | {r['steps']} | "
+              f"{r['psnr_vs_clean_db']} dB | {r['ssim_vs_clean']} | "
+              f"{r['psnr_vs_ddpm1000_db']} dB | "
+              f"{r['projected_v5e8_volume_s']} s |")
+    print(f"\nnoisy input: {p_noisy:.2f} dB / {s_noisy:.4f}")
+    print(f"wrote {os.path.abspath(out_path)}")
+
+
+if __name__ == "__main__":
+    main()
