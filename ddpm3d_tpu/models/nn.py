@@ -84,6 +84,52 @@ def _group_stats(xf: jnp.ndarray, num_groups: int, eps: float = 1e-5):
     return mean_c, rstd_c
 
 
+def channel_stats(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel (sum, sum-of-squares) over all spatial axes: [B, 2, C]
+    f32. The quantity the fused conv kernel emits (ops/conv3d_fused.py) and
+    :func:`fold_gn_affine` consumes."""
+    xf = x.astype(jnp.float32)
+    spatial_axes = tuple(range(1, xf.ndim - 1))
+    s1 = jnp.sum(xf, axis=spatial_axes)
+    s2 = jnp.sum(xf * xf, axis=spatial_axes)
+    return jnp.stack([s1, s2], axis=1)
+
+
+def fold_gn_affine(
+    stats: jnp.ndarray,
+    n_spatial: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = NORM_GROUPS,
+    eps: float = 1e-5,
+    film_scale: Optional[jnp.ndarray] = None,
+    film_shift: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold GroupNorm (+ optional FiLM) into one per-channel affine (g, b)
+    [B, C] f32, given per-channel stats [B, 2, C] and the spatial voxel
+    count. ``y = x * g + b`` then equals :func:`group_norm_f32` — this is
+    how consecutive fused convs chain normalization without re-reading
+    activations."""
+    B, _, C = stats.shape
+    Cg = C // num_groups
+    n = n_spatial * Cg
+    s1 = stats[:, 0].reshape(B, num_groups, Cg).sum(-1)
+    s2 = stats[:, 1].reshape(B, num_groups, Cg).sum(-1)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    mean_c = jnp.repeat(mean, Cg, axis=-1)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), Cg, axis=-1)
+    g = scale.astype(jnp.float32)[None] * rstd_c
+    b = bias.astype(jnp.float32)[None] - mean_c * g
+    if film_scale is not None:
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        g = g * fs
+        b = b * fs
+    if film_shift is not None:
+        b = b + film_shift.astype(jnp.float32)
+    return g, b
+
+
 def group_norm_f32(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -146,7 +192,11 @@ class GroupNorm32(fnn.Module):
     """Param-holding wrapper over :func:`group_norm_f32`. The optional FiLM
     args fuse the reference's scale-shift-norm (+SiLU) chain into the
     normalize pass; param names stay scale/bias so checkpoints are identical
-    either way."""
+    either way.
+
+    With ``fold_only=True`` (fused-conv path) the call returns the folded
+    per-channel affine (g, b) from ``stats`` instead of applying it — the
+    normalize then happens inside the consumer conv kernel's prologue."""
 
     num_groups: int = NORM_GROUPS
     eps: float = 1e-5
@@ -158,10 +208,20 @@ class GroupNorm32(fnn.Module):
         film_scale: Optional[jnp.ndarray] = None,
         film_shift: Optional[jnp.ndarray] = None,
         apply_silu: bool = False,
-    ) -> jnp.ndarray:
+        stats: Optional[jnp.ndarray] = None,
+        fold_only: bool = False,
+    ):
         C = x.shape[-1]
         scale = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
+        if fold_only:
+            if stats is None:
+                stats = channel_stats(x)
+            return fold_gn_affine(
+                stats, math.prod(x.shape[1:-1]), scale, bias,
+                self.num_groups, self.eps,
+                film_scale=film_scale, film_shift=film_shift,
+            )
         return group_norm_f32(
             x, scale, bias, self.num_groups, self.eps,
             film_scale=film_scale, film_shift=film_shift,
@@ -251,6 +311,34 @@ def _conv3d_decomposed_enabled() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+class ConvParams(fnn.Module):
+    """Declares a conv's kernel/bias params WITHOUT applying the op, with
+    exactly :func:`conv_nd`'s names, shapes and initializers — so the fused
+    Pallas conv path (ops/conv3d_fused.py) shares checkpoints bit-for-bit
+    with the XLA modules. ``__call__(in_ch)`` returns (kernel, bias)."""
+
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3, 3)
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @fnn.compact
+    def __call__(self, in_ch: int):
+        kernel_init = (
+            fnn.initializers.zeros if self.zero_init else default_conv_init()
+        )
+        kernel = self.param(
+            "kernel", kernel_init,
+            tuple(self.kernel_size) + (in_ch, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", fnn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
 
 
 def default_conv_init() -> Callable:

@@ -121,7 +121,7 @@ class SegUNetModel(fnn.Module):
         hs = []
         for i, stage in enumerate(plan.input_blocks):
             mods = _build_stage(self, f"in{i}", stage, cfg)
-            h = _apply_stage(mods, h, emb, train)
+            h, _ = _apply_stage(mods, h, emb, train)
             if self.fusion == "add":
                 h = h + enc_feats[i].astype(h.dtype)
             elif self.fusion == "cat_conv":
@@ -142,12 +142,12 @@ class SegUNetModel(fnn.Module):
             mid_plan = (ResSpec(2 * ch, ch),) + plan.middle_block[1:]
         else:
             mid_plan = plan.middle_block
-        h = _apply_stage(_build_stage(self, "mid", mid_plan, cfg), h, emb, train)
+        h, _ = _apply_stage(_build_stage(self, "mid", mid_plan, cfg), h, emb, train)
 
         for i, stage in enumerate(plan.output_blocks):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             mods = _build_stage(self, f"out{i}", stage, cfg)
-            h = _apply_stage(mods, h, emb, train)
+            h, _ = _apply_stage(mods, h, emb, train)
 
         h = h.astype(x.dtype)
         h = prim.GroupNorm32(name="head_norm")(h)

@@ -42,9 +42,38 @@ from .plan import (
 )
 
 
+def _fused_mode() -> str:
+    """Fused ResBlock conv path (ops/conv3d_fused.py): DDPM3D_FUSED=1
+    enables it on TPU (compiled Pallas); DDPM3D_FUSED=interpret runs the
+    kernel in interpret mode on any backend (tests). Returns
+    'off' | 'on' | 'interpret'."""
+    import os
+
+    v = os.environ.get("DDPM3D_FUSED", "0").lower()
+    if v == "interpret":
+        return "interpret"
+    if v != "1":
+        return "off"
+    try:
+        if jax.default_backend() != "tpu":
+            return "off"
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", "tpu") != "tpu":
+            return "off"
+    except Exception:  # pragma: no cover
+        return "off"
+    return "on"
+
+
 class ResBlock(fnn.Module):
     """Residual block with FiLM timestep conditioning and optional in-block
-    up/down resampling (reference unet.py:143-256)."""
+    up/down resampling (reference unet.py:143-256).
+
+    With ``fused=True`` (inference, TPU) both convs run through the fused
+    Pallas kernel: the GroupNorm/FiLM/SiLU prologue and the skip add happen
+    inside the conv, and each conv emits per-channel stats that fold the
+    NEXT GroupNorm into a [C]-sized coefficient computation. ``x_stats``
+    carries those stats in; the call then returns ``(out, out_stats)``."""
 
     out_ch: int
     dropout: float = 0.0
@@ -53,11 +82,76 @@ class ResBlock(fnn.Module):
     down: bool = False
     use_conv_skip: bool = False
     dtype: Any = jnp.float32
+    fused: bool = False
+
+    def _fusable(self, x, train) -> bool:
+        from ..ops.conv3d_fused import conv3d_fused_applicable
+
+        in_ch = x.shape[-1]
+        return (
+            self.fused
+            and not train
+            and not self.up
+            and not self.down
+            and self.use_scale_shift_norm
+            and self.dropout == 0.0
+            and x.ndim == 5
+            and conv3d_fused_applicable(
+                x.shape, (3, 3, 3, in_ch, self.out_ch), x.dtype)
+            and conv3d_fused_applicable(
+                x.shape[:-1] + (self.out_ch,),
+                (3, 3, 3, self.out_ch, self.out_ch), x.dtype)
+        )
 
     @fnn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, train: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: jnp.ndarray,
+        train: bool = False,
+        x_stats: Optional[jnp.ndarray] = None,
+    ):
         in_ch = x.shape[-1]
         sdims = x.ndim - 2
+
+        if self._fusable(x, train):
+            import functools
+
+            from ..ops.conv3d_fused import conv3d_fused as _cf
+
+            conv3d_fused = functools.partial(
+                _cf, interpret=_fused_mode() == "interpret")
+            dt = self.dtype
+            g1, b1 = prim.GroupNorm32(name="in_norm")(
+                x, stats=x_stats, fold_only=True)
+            kin, bin_ = prim.ConvParams(self.out_ch, name="in_conv")(in_ch)
+            h, h_stats = conv3d_fused(
+                x, kin.astype(dt), bin_, prologue_g=g1, prologue_b=b1,
+                prologue_silu=True, want_stats=True,
+            )
+            emb_out = prim.dense(
+                2 * self.out_ch, dtype=dt, name="emb")(prim.silu(emb))
+            scale, shift = jnp.split(
+                emb_out.astype(jnp.float32), 2, axis=-1)
+            g2, b2 = prim.GroupNorm32(name="out_norm")(
+                h, stats=h_stats, film_scale=scale, film_shift=shift,
+                fold_only=True,
+            )
+            kout, bout = prim.ConvParams(
+                self.out_ch, zero_init=True, name="out_conv")(self.out_ch)
+            if in_ch == self.out_ch:
+                skip = x
+            elif self.use_conv_skip:
+                skip = prim.conv_nd(
+                    sdims, self.out_ch, 3, dtype=dt, name="skip")(x)
+            else:
+                skip = prim.conv_nd(
+                    sdims, self.out_ch, 1, dtype=dt, name="skip")(x)
+            out, out_stats = conv3d_fused(
+                h, kout.astype(dt), bout, prologue_g=g2, prologue_b=b2,
+                prologue_silu=True, skip=skip.astype(dt), want_stats=True,
+            )
+            return out, out_stats
 
         h = prim.GroupNorm32(name="in_norm")(x, apply_silu=True)
         if self.up:
@@ -202,6 +296,7 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
                 up=spec.up,
                 down=spec.down,
                 dtype=cfg["dtype"],
+                fused=cfg.get("fused", False),
                 name=name,
             )
         elif isinstance(spec, AttnSpec):
@@ -221,15 +316,22 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
     return mods
 
 
-def _apply_stage(mods, h, emb, train):
+def _apply_stage(mods, h, emb, train, stats=None):
     """The reference's TimestepEmbedSequential dispatch (unet.py:66-78):
-    only ResBlocks receive the timestep embedding."""
+    only ResBlocks receive the timestep embedding.
+
+    ``stats`` threads the fused path's per-channel activation stats from
+    block to block; any non-ResBlock op invalidates them (its output
+    distribution differs), after which the next fused block recomputes them
+    with one cheap reduce."""
     for spec, m in mods:
         if isinstance(spec, ResSpec):
-            h = m(h, emb, train)
+            out = m(h, emb, train, stats)
+            h, stats = out if isinstance(out, tuple) else (out, None)
         else:
             h = m(h)
-    return h
+            stats = None
+    return h, stats
 
 
 class UNetModel(fnn.Module):
@@ -286,6 +388,7 @@ class UNetModel(fnn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_new_attention_order=self.use_new_attention_order,
             res_cls=res_cls,
+            fused=_fused_mode() != "off" and not self.use_checkpoint,
             # the reference checkpoints attention unconditionally
             # (unet.py:297) — its O(T^2) weights dominate activation memory
             attn_cls=fnn.remat(AttentionBlock),
@@ -316,16 +419,27 @@ class UNetModel(fnn.Module):
             )(y)
 
         h = x.astype(self.dtype)
+        stats = None
         hs = []
         for i, stage in enumerate(plan.input_blocks):
             mods = _build_stage(self, f"in{i}", stage, cfg)
-            h = _apply_stage(mods, h, emb, train)
-            hs.append(h)
-        h = _apply_stage(_build_stage(self, "mid", plan.middle_block, cfg), h, emb, train)
+            h, stats = _apply_stage(mods, h, emb, train, stats)
+            hs.append((h, stats))
+        h, stats = _apply_stage(
+            _build_stage(self, "mid", plan.middle_block, cfg), h, emb, train,
+            stats,
+        )
         for i, stage in enumerate(plan.output_blocks):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h_skip, skip_stats = hs.pop()
+            h = jnp.concatenate([h, h_skip], axis=-1)
+            # per-channel stats concatenate exactly like the activations
+            stats = (
+                jnp.concatenate([stats, skip_stats], axis=-1)
+                if stats is not None and skip_stats is not None
+                else None
+            )
             mods = _build_stage(self, f"out{i}", stage, cfg)
-            h = _apply_stage(mods, h, emb, train)
+            h, stats = _apply_stage(mods, h, emb, train, stats)
 
         h = h.astype(x.dtype)
         h = prim.GroupNorm32(name="head_norm")(h)
@@ -504,12 +618,12 @@ class EncoderUNetModel(fnn.Module):
         features = []
         for i, stage in enumerate(plan.input_blocks):
             mods = _build_stage(self, f"in{i}", stage, cfg)
-            h = _apply_stage(mods, h, emb, train)
+            h, _ = _apply_stage(mods, h, emb, train)
             features.append(h)
             if self.pool.startswith("spatial"):
                 results.append(h.astype(x.dtype).mean(axis=spatial_axes))
         if self.include_middle:
-            h = _apply_stage(
+            h, _ = _apply_stage(
                 _build_stage(self, "mid", plan.middle_block, cfg), h, emb, train
             )
             if self.pool.startswith("spatial"):

@@ -113,3 +113,35 @@ def test_batch2_prologue_per_sample():
     ref = conv3d_decomposed(xn, w) + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_unet_fused_path_matches_normal(monkeypatch):
+    """The whole-model fused inference path (DDPM3D_FUSED) is numerically
+    equivalent to the standard path: same params, same output."""
+    from ddpm3d_tpu.models import SuperResModel
+
+    model = SuperResModel(
+        in_channels=1, model_channels=128, out_channels=2, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1,), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 1)), jnp.float32)
+    low = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 1)), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+
+    monkeypatch.setenv("DDPM3D_FUSED", "0")
+    params = model.init(jax.random.key(0), x, t, low_res=low)
+    ref = model.apply(params, x, t, low_res=low)
+
+    monkeypatch.setenv("DDPM3D_FUSED", "interpret")
+    # param trees must be identical between the two paths
+    params2 = model.init(jax.random.key(0), x, t, low_res=low)
+    p_paths = jax.tree_util.tree_structure(params)
+    assert p_paths == jax.tree_util.tree_structure(params2)
+    got = model.apply(params, x, t, low_res=low)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )

@@ -171,23 +171,29 @@ def main():
     os.makedirs(ref_dir, exist_ok=True)
     os.makedirs(our_dir, exist_ok=True)
 
-    make_reference_model(model_path)
-    make_volume(vol_path)
+    # idempotent stages so a partial run (the torch half takes ~1 h on CPU)
+    # resumes instead of restarting
+    if not os.path.exists(model_path):
+        make_reference_model(model_path)
+    if not os.path.exists(vol_path):
+        make_volume(vol_path)
 
-    # ours first, as a subprocess (clean JAX/CPU env; .pt ingested by the
-    # torch importer; matched noise via --torch_noise_seed 10)
-    argv = [sys.executable, os.path.join(REPO, "scripts", "test.py"),
-            "--base_samples", vol_path, "--model_path", model_path,
-            "--save_dir", our_dir, "--torch_noise_seed", "10"]
-    for k, v in MODEL_FLAGS.items():
-        argv += [f"--{k}", str(v)]
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    print("running ddpm3d_tpu scripts/test.py (CPU)...", flush=True)
-    subprocess.run(argv, check=True, env=env, cwd=REPO)
+    if not os.path.exists(os.path.join(our_dir, "denoised_input.npz")):
+        # ours as a subprocess (clean JAX/CPU env; .pt ingested by the
+        # torch importer; matched noise via --torch_noise_seed 10)
+        argv = [sys.executable, os.path.join(REPO, "scripts", "test.py"),
+                "--base_samples", vol_path, "--model_path", model_path,
+                "--save_dir", our_dir, "--torch_noise_seed", "10"]
+        for k, v in MODEL_FLAGS.items():
+            argv += [f"--{k}", str(v)]
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        print("running ddpm3d_tpu scripts/test.py (CPU)...", flush=True)
+        subprocess.run(argv, check=True, env=env, cwd=REPO)
 
-    print("running reference scripts/test.py (CPU, single rank)...",
-          flush=True)
-    run_reference(model_path, vol_path, ref_dir)
+    if not os.path.exists(os.path.join(ref_dir, "denoised_input.npz")):
+        print("running reference scripts/test.py (CPU, single rank)...",
+              flush=True)
+        run_reference(model_path, vol_path, ref_dir)
 
     ref_npz = np.load(os.path.join(ref_dir, "denoised_input.npz"))["arr_0"]
     our_npz = np.load(os.path.join(our_dir, "denoised_input.npz"))["arr_0"]
