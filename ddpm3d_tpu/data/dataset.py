@@ -81,18 +81,29 @@ class PatchDataset:
         num_shards: int = 1,
         normalize_divisor: float = 4.0,
         cache_volumes: bool = True,
+        random_crop: bool = False,
+        seed: int = 0,
     ):
         self.resolution = resolution
         self.local_paths = list(image_paths)[shard:][::num_shards]
         self.normalize_divisor = normalize_divisor
         self.cache_volumes = cache_volumes
+        self.random_crop = random_crop
+        self._rng = np.random.default_rng(seed)
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._build_index()
 
     def _build_index(self):
         """(reference image_datasets.py:159-198) — the grid is computed on
-        the transposed (H, W, D) sizes."""
+        the transposed (H, W, D) sizes. In ``random_crop`` mode (the
+        reference's legacy oversampling path, image_datasets.py:337-389)
+        the index is one entry per volume; crop coordinates are drawn per
+        __getitem__."""
         self.patch_info: List[Tuple[int, int, int, int]] = []
+        if self.random_crop:
+            for file_idx in range(len(self.local_paths)):
+                self.patch_info.append((file_idx, -1, -1, -1))
+            return
         for file_idx, path in enumerate(self.local_paths):
             try:
                 low, _ = self._volume(file_idx)
@@ -131,12 +142,34 @@ class PatchDataset:
         low, high = self._volume(file_idx)
         r = self.resolution
         D, H, W = low.shape
+        if self.random_crop:
+            return self._random_patch(low, high)
         xe, ye, ze = min(x0 + r, H), min(y0 + r, W), min(z0 + r, D)
 
         def cut(vol):
             # vol is (D,H,W); grid coords are in (H,W,D) space
             patch = vol[z0:ze, x0:xe, y0:ye]
             out = np.zeros((r, r, r), np.float32)
+            out[: patch.shape[0], : patch.shape[1], : patch.shape[2]] = patch
+            return out[..., None]  # (D,H,W,1)
+
+        return cut(high), {"low_res": cut(low)}
+
+    def _random_patch(self, low, high):
+        """Legacy random-crop oversampling (reference
+        image_datasets.py:337-389): uniform random corner, clamp-and-pad to
+        (size_z, size_xy, size_xy); sizes clamp to the volume extents."""
+        D, H, W = low.shape
+        r = self.resolution
+        size_xy = min(r, H, W)
+        size_z = min(r, D)
+        x0 = self._rng.integers(0, max(H - size_xy, 0) + 1)
+        y0 = self._rng.integers(0, max(W - size_xy, 0) + 1)
+        z0 = self._rng.integers(0, max(D - size_z, 0) + 1)
+
+        def cut(vol):
+            patch = vol[z0:z0 + size_z, x0:x0 + size_xy, y0:y0 + size_xy]
+            out = np.zeros((size_z, size_xy, size_xy), np.float32)
             out[: patch.shape[0], : patch.shape[1], : patch.shape[2]] = patch
             return out[..., None]  # (D,H,W,1)
 
@@ -204,6 +237,59 @@ def load_data(
                 highs.append(h)
                 lows.append(kw["low_res"])
             yield np.stack(highs), {"low_res": np.stack(lows)}
+
+
+def center_crop_arr(pil_image, image_size: int) -> np.ndarray:
+    """2-D center crop with quality-preserving progressive downsample
+    (reference image_datasets.py:424-441, the upstream guided-diffusion
+    ImageNet path): halve with BOX filtering while >= 2x target, bicubic to
+    the final scale, then center-crop to image_size^2."""
+    from PIL import Image
+
+    while min(*pil_image.size) >= 2 * image_size:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX
+        )
+    scale = image_size / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size),
+        resample=Image.BICUBIC,
+    )
+    arr = np.array(pil_image)
+    cy = (arr.shape[0] - image_size) // 2
+    cx = (arr.shape[1] - image_size) // 2
+    return arr[cy:cy + image_size, cx:cx + image_size]
+
+
+def random_crop_arr(
+    pil_image, image_size: int,
+    min_crop_frac: float = 0.8, max_crop_frac: float = 1.0,
+    rng=None,
+) -> np.ndarray:
+    """2-D random-scale random crop (reference image_datasets.py:444-465).
+    Uses an explicit ``rng`` (numpy Generator) instead of the global
+    ``random`` module."""
+    import math as _math
+
+    from PIL import Image
+
+    rng = rng or np.random.default_rng()
+    min_s = _math.ceil(image_size / max_crop_frac)
+    max_s = _math.ceil(image_size / min_crop_frac)
+    smaller = int(rng.integers(min_s, max_s + 1))
+    while min(*pil_image.size) >= 2 * smaller:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX
+        )
+    scale = smaller / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size),
+        resample=Image.BICUBIC,
+    )
+    arr = np.array(pil_image)
+    cy = int(rng.integers(0, arr.shape[0] - image_size + 1))
+    cx = int(rng.integers(0, arr.shape[1] - image_size + 1))
+    return arr[cy:cy + image_size, cx:cx + image_size]
 
 
 def prefetch(iterator, size: int = 2):

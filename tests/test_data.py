@@ -196,3 +196,66 @@ def test_load_data_generator(tmp_path):
     assert cond["low_res"].shape == (2, 96, 96, 96, 1)
     batch2, _ = next(it)
     assert batch2.shape == (2, 96, 96, 96, 1)
+
+
+def test_random_crop_mode(tmp_path):
+    """Legacy oversampling path (reference image_datasets.py:337-389):
+    random in-bounds crops, padded only when the volume is smaller than the
+    patch."""
+    import numpy as np
+
+    from ddpm3d_tpu.data.dataset import PatchDataset
+    from ddpm3d_tpu.data import tiff_io
+
+    vol = np.random.default_rng(0).normal(size=(2, 12, 20, 20)).astype(
+        np.float32)
+    p = str(tmp_path / "v.tif")
+    tiff_io.imwrite(p, vol.reshape(2 * 12, 20, 20))  # fallthrough: use npz
+    p = str(tmp_path / "v.npz")
+    np.savez(p, vol)
+    ds = PatchDataset(8, [p], random_crop=True, seed=3)
+    assert len(ds) == 1  # one entry per volume in random mode
+    high, kw = ds[0]
+    assert high.shape == (8, 8, 8, 1)
+    assert kw["low_res"].shape == (8, 8, 8, 1)
+    # crops come from inside the (divided-by-4) volume
+    assert np.isfinite(high).all()
+    a, _ = ds[0]
+    b, _ = ds[0]
+    assert np.abs(a - b).max() > 0  # random corners differ
+
+
+def test_small_volume_random_crop_pads():
+    import numpy as np
+
+    from ddpm3d_tpu.data.dataset import PatchDataset
+
+    class _FakeDs(PatchDataset):
+        def _volume(self, file_idx):
+            v = np.ones((4, 6, 6), np.float32)
+            return v, v
+
+    ds = _FakeDs.__new__(_FakeDs)
+    ds.resolution = 8
+    ds.random_crop = True
+    ds._rng = np.random.default_rng(0)
+    high, kw = ds._random_patch(np.ones((4, 6, 6), np.float32),
+                                np.ones((4, 6, 6), np.float32))
+    assert high.shape == (4, 6, 6, 1)  # clamped, not padded past extents
+
+
+def test_2d_crop_helpers():
+    """center_crop_arr / random_crop_arr (reference
+    image_datasets.py:424-465)."""
+    import numpy as np
+    from PIL import Image
+
+    from ddpm3d_tpu.data.dataset import center_crop_arr, random_crop_arr
+
+    img = Image.fromarray(
+        (np.random.default_rng(1).random((97, 139, 3)) * 255).astype("uint8")
+    )
+    c = center_crop_arr(img, 32)
+    assert c.shape == (32, 32, 3)
+    r = random_crop_arr(img, 32, rng=np.random.default_rng(2))
+    assert r.shape == (32, 32, 3)
