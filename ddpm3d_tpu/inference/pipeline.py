@@ -282,16 +282,7 @@ def denoise_volume(
     low = extract_patches_zxy(volume_zxy, grid, patch_size)  # [P,Z,X,Y]
     log_stage_stats("patches", low)
 
-    def one_draw(draw_key):
-        denoised = denoise_patches(
-            draw_key, model_apply, params, sched, cfg, low,
-            use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
-            mesh=mesh, per_device_batch=per_device_batch,
-            noise=noise, noise_stream=noise_stream,
-            progress_cb=lambda done, total: logger.log(
-                f"denoised {done}/{total} patches"
-            ),
-        )
+    def blend_one(denoised):
         log_stage_stats("sampled", denoised)
         # [P,Z,X,Y] -> [P,X,Y,Z] for the (H,W,Z)-indexed blender
         patches_xyz = np.transpose(denoised, (0, 2, 3, 1))
@@ -305,11 +296,27 @@ def denoise_volume(
             out = blend_patches_hann(patches_xyz, grid, (H, W, Z), patch_size)
         return out * 4.0 if normalize_div4 else out
 
-    draws = []
-    for s in range(max(1, num_samples)):
-        if num_samples > 1:
-            logger.log(f"sample draw {s + 1}/{num_samples}")
-        draws.append(one_draw(jax.random.fold_in(key, 1000003 + s)))
+    S = max(1, num_samples)
+    if noise is not None or noise_stream is not None:
+        assert S == 1, "explicit noise implies a single draw"
+    # All draws ride ONE sharded patch batch (S*P work items) instead of S
+    # sequential full passes: on an 8-chip mesh, 4-draw uncertainty maps
+    # take ceil(4*18/8) = 9 chain rounds instead of 4*ceil(18/8) = 12.
+    # Per-draw noise stays keyed by the global work-item id (sample_ids), so
+    # results are identical to the sequential form on any device count.
+    low_all = np.concatenate([low] * S) if S > 1 else low
+    denoised_all = denoise_patches(
+        jax.random.fold_in(key, 1000003), model_apply, params, sched, cfg,
+        low_all,
+        use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
+        mesh=mesh, per_device_batch=per_device_batch,
+        noise=noise, noise_stream=noise_stream,
+        progress_cb=lambda done, total: logger.log(
+            f"denoised {done}/{total} patch-draws"
+        ),
+    )
+    P = low.shape[0]
+    draws = [blend_one(denoised_all[s * P:(s + 1) * P]) for s in range(S)]
     result = np.mean(draws, axis=0) if len(draws) > 1 else draws[0]
     uncertainty = np.std(draws, axis=0) if len(draws) > 1 else None
     log_stage_stats("blended", result)
