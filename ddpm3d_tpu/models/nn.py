@@ -157,6 +157,13 @@ def group_norm_f32(
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
     if _gn_stats_mode() == "chanwise":
         mean_c, rstd_c = _group_stats(xf, num_groups, eps)
+        # Named so the remat policy can SAVE these [B,C] scalars instead of
+        # re-running the full spatial reduction in the backward pass
+        # (save_only_these_names("gn_stats") in models/unet.py:_cfg).
+        from jax.ad_checkpoint import checkpoint_name
+
+        mean_c = checkpoint_name(mean_c, "gn_stats")
+        rstd_c = checkpoint_name(rstd_c, "gn_stats")
     else:
         # classic two-pass E[(x-mu)^2] over the (..., G, Cg) view; kept as a
         # fallback (DDPM3D_GN_STATS=classic). Slower on TPU: XLA lowers the

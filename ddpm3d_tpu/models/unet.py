@@ -380,7 +380,16 @@ class UNetModel(fnn.Module):
         if self.use_checkpoint:
             # Rematerialize ResBlocks in the backward pass (the reference's
             # gradient checkpointing, nn.py:124-170 + unet.py:232-234).
-            res_cls = fnn.remat(ResBlock, static_argnums=(3,))
+            # The [B,C]-sized GroupNorm stats are saved (memory-free) so
+            # the backward does not repeat their full spatial reductions —
+            # measured: stats-reduce time 74.3 -> 61.0 ms/train-step, net
+            # -4 ms at the flagship config (fusion boundaries shift some
+            # cost into convs).
+            res_cls = fnn.remat(
+                ResBlock, static_argnums=(3,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "gn_stats"),
+            )
         return dict(
             sdims=self.dims,
             dtype=self.dtype,

@@ -86,12 +86,18 @@ def main():
                              model_kwargs={"low_res": low})
 
     jitted = jax.jit(run)
-    compiled = jitted.lower(params, key, low).compile()
-    hlo = compiled.as_text()
+    hlo = jitted.lower(params, key, low).compile().as_text()
     float(jnp.sum(jitted(params, key, low)))  # warm
+    profile_and_report(
+        hlo,
+        lambda: float(jnp.sum(jitted(params, jax.random.fold_in(key, 7), low))),
+        steps,
+    )
 
-    # Map %fused_computation.N -> category by body contents, then
-    # %fusion.N -> its computation via `calls=`.
+
+def hlo_category_maps(hlo: str):
+    """Map %fused_computation.N -> category by body contents, and
+    %fusion.N -> its computation via `calls=`."""
     comp_cat = {}
     cur = None
     body = []
@@ -118,10 +124,18 @@ def main():
         r"%?([\w\.\-]+)\s*=\s*[^=]*fusion\([^\n]*calls=%?([\w\.\-]+)", hlo
     ):
         op_comp[m.group(1)] = m.group(2)
+    return comp_cat, op_comp
+
+
+def profile_and_report(hlo: str, run_once, steps: int, top: int = 30):
+    """Trace ``run_once`` (which must force a readback), aggregate the
+    device plane's exclusive op times by HLO category, print the report.
+    Returns (total_ms, per_category dict)."""
+    comp_cat, op_comp = hlo_category_maps(hlo)
 
     d = tempfile.mkdtemp(prefix="ddpm3d_prof_")
     jax.profiler.start_trace(d)
-    float(jnp.sum(jitted(params, jax.random.fold_in(key, 7), low)))
+    run_once()
     jax.profiler.stop_trace()
 
     path = sorted(glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True))[-1]
@@ -147,7 +161,12 @@ def main():
                 else:
                     c = classify(nm)
                 cat[c] += dur
-                ops[(c, re.sub(r"\.\d+", "", ev.name)[:140])] += dur
+                key_name = (
+                    ev.name[:140]
+                    if os.environ.get("PROF_NO_COLLAPSE") == "1"
+                    else re.sub(r"\.\d+", "", ev.name)[:140]
+                )
+                ops[(c, key_name)] += dur
                 total += dur
     print(f"trace: {path}")
     print(f"device total (exclusive ops): {total:.1f} ms over {steps} steps "
@@ -155,9 +174,10 @@ def main():
     print("== by category (ms total / ms per step) ==")
     for k, v in cat.most_common():
         print(f"  {k:24s} {v:9.2f}  {v/steps:8.3f}")
-    print("\n== top 30 ops ==")
-    for (c, k), v in ops.most_common(30):
+    print(f"\n== top {top} ops ==")
+    for (c, k), v in ops.most_common(top):
         print(f"  {v/steps:8.3f} ms/step [{c:16s}] {k}")
+    return total, dict(cat)
 
 
 if __name__ == "__main__":
