@@ -211,13 +211,19 @@ def load_data(
     deterministic: bool = False,
     seed: int = 0,
     drop_last: bool = True,
+    random_crop: bool = False,
 ) -> Iterator[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
     """Infinite generator over shuffled batches (reference
-    image_datasets.py:14-75). Batches are NDHWC numpy arrays."""
+    image_datasets.py:14-75). Batches are NDHWC numpy arrays.
+    ``random_crop`` selects the legacy oversampling path
+    (image_datasets.py:337-389) instead of the deterministic grid."""
     if not data_dir:
         raise ValueError("unspecified data directory")
     paths = list_image_files_recursively(data_dir)
-    dataset = PatchDataset(image_size, paths, shard=shard, num_shards=num_shards)
+    dataset = PatchDataset(
+        image_size, paths, shard=shard, num_shards=num_shards,
+        random_crop=random_crop, seed=seed,
+    )
     if len(dataset) == 0:
         raise ValueError(f"no usable patches found under {data_dir}")
     rng = np.random.default_rng(seed)
