@@ -42,6 +42,9 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
+    if os.environ.get("BENCH_MODE", "sample") == "train":
+        return bench_train(jax, jnp, np, platform, on_tpu)
+
     if on_tpu:
         patch = 96
         batch = int(os.environ.get("BENCH_BATCH", "1"))
@@ -136,6 +139,79 @@ def main():
         ) if on_tpu else None,
     }
     print(json.dumps(result))
+
+
+def bench_train(jax, jnp, np, platform, on_tpu):
+    """BENCH_MODE=train: flagship training-step throughput (wall,
+    min-of-reps). The trace-level breakdown lives in
+    tools/profile_train.py (543 ms/step device at the flagship config)."""
+    from ddpm3d_tpu.diffusion import (
+        DiffusionConfig, LossType, MeanType, VarType,
+        linear_beta_schedule, make_schedule,
+    )
+    from ddpm3d_tpu.models import SuperResModel
+    from ddpm3d_tpu.training import TrainState, make_optimizer, make_train_step
+
+    if on_tpu:
+        patch, ch, mult, nrb = 96, 128, (1, 1, 2, 3, 4), 2
+    else:
+        patch, ch, mult, nrb = 32, 64, (1, 2), 1
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    model = SuperResModel(
+        in_channels=1, model_channels=ch, out_channels=2,
+        num_res_blocks=nrb, attention_resolutions=(0,), channel_mult=mult,
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False, dtype=jnp.bfloat16, use_checkpoint=on_tpu,
+    )
+    sched = make_schedule(linear_beta_schedule(1000))
+    cfg = DiffusionConfig(
+        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        original_num_steps=1000,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        xi = jnp.zeros((1, 2, 16, 16, 1), jnp.float32)
+        params = model.init(
+            jax.random.key(1), xi, jnp.zeros((1,), jnp.int32), low_res=xi
+        )["params"]
+    opt = make_optimizer(1e-4, 0.0, 0)
+    state = jax.device_put(
+        TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            opt_state=opt.init(params),
+            ema_params=(jax.tree_util.tree_map(jnp.copy, params),),
+            sampler_state=None,
+        ),
+        jax.devices()[0],
+    )
+    step_fn = jax.jit(make_train_step(model.apply, sched, cfg, opt, (0.9999,)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(batch, patch, patch, patch, 1)), jnp.float32)
+    cond = {"low_res": jnp.asarray(
+        rng.normal(size=(batch, patch, patch, patch, 1)), jnp.float32)}
+    key = jax.random.key(0)
+    state, m = step_fn(state, x, cond, key)  # compile
+    float(np.asarray(m["loss"]).mean())
+    reps = 4 if on_tpu else 1
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, x, cond, jax.random.fold_in(key, i))
+        float(np.asarray(m["loss"]).mean())
+        times.append(time.perf_counter() - t0)
+    per_step = min(times)
+    voxels = batch * patch ** 3
+    print(json.dumps({
+        "metric": "train_voxels_per_sec_per_chip",
+        "value": round(voxels / per_step, 1),
+        "unit": "voxel/s/chip",
+        "vs_baseline": None,
+        "platform": platform,
+        "patch": patch,
+        "batch": batch,
+        "per_step_ms": round(per_step * 1000, 2),
+        "rep_spread": round((max(times) - min(times)) / per_step, 3),
+    }))
 
 
 if __name__ == "__main__":
