@@ -157,8 +157,11 @@ class PatchDataset:
 
     def _random_patch(self, low, high):
         """Legacy random-crop oversampling (reference
-        image_datasets.py:337-389): uniform random corner, clamp-and-pad to
-        (size_z, size_xy, size_xy); sizes clamp to the volume extents."""
+        image_datasets.py:337-389): uniform random corner; crop sizes clamp
+        to the volume extents. Unlike the reference (whose clamped crops
+        would produce ragged batches), the output is always zero-padded to
+        the full (r, r, r) cube — the same contract as the grid path, so
+        batches stack."""
         D, H, W = low.shape
         r = self.resolution
         size_xy = min(r, H, W)
@@ -169,7 +172,7 @@ class PatchDataset:
 
         def cut(vol):
             patch = vol[z0:z0 + size_z, x0:x0 + size_xy, y0:y0 + size_xy]
-            out = np.zeros((size_z, size_xy, size_xy), np.float32)
+            out = np.zeros((r, r, r), np.float32)
             out[: patch.shape[0], : patch.shape[1], : patch.shape[2]] = patch
             return out[..., None]  # (D,H,W,1)
 

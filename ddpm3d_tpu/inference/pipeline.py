@@ -114,10 +114,14 @@ def denoise_patches(
     keeps single executions under relay/watchdog limits. ``None`` or a value
     >= the chain length runs monolithically.
 
-    ``noise_stream`` ([P, T, Z, X, Y], ordered t=T-1..0) supplies explicit
-    per-step noises per patch — the external-RNG parity path for matching
-    the reference's torch-global-RNG chain exactly (requires ``noise`` for
-    x_T too; runs monolithically).
+    ``noise_stream`` supplies explicit per-step noises per patch — the
+    external-RNG parity path for matching the reference's torch-global-RNG
+    chain exactly (runs monolithically). Either an array
+    [P, T, Z, X, Y] ordered t=T-1..0 (requires ``noise`` for x_T), or a
+    callable ``(lo, hi) -> (x_T [n,Z,X,Y], stream [n,T,Z,X,Y])`` invoked
+    with increasing patch ranges — the memory-bounded form: only one
+    chunk's noises exist at a time (the full array at production settings
+    is ~64 GB).
     """
     mesh = mesh if mesh is not None else pmesh.make_mesh()
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -163,11 +167,14 @@ def denoise_patches(
     padded = pmesh.pad_to_multiple(P, chunk)
     pad = padded - P
     low = np.concatenate([low_patches] + [low_patches[-1:]] * pad)[..., None]
+    stream_fn = noise_stream if callable(noise_stream) else None
+    if stream_fn is not None:
+        noise_stream = None
     if noise is not None:
         noise = np.concatenate(
             [noise, noise[-1:].repeat(pad, axis=0)] if pad else [noise]
         )[..., None]
-    if noise_stream is not None:
+    if noise_stream is not None and stream_fn is None:
         assert noise is not None, "noise_stream requires explicit x_T noise"
         assert noise_stream.shape[1] == T, (
             f"noise_stream has {noise_stream.shape[1]} steps, chain has {T}"
@@ -177,7 +184,25 @@ def denoise_patches(
             if pad else [noise_stream]
         )[..., None]
 
+    # external-RNG parity path (jitted ONCE; chunk shapes are uniform)
+    from ..diffusion.sampling import ddim_sample_loop, p_sample_loop
+
+    def run_stream(params, img, low_chunk, stream):
+        model_fn = lambda x, t, **kw: model_apply(
+            {"params": params}, x, t, **kw)
+        loop = ddim_sample_loop if use_ddim else p_sample_loop
+        kw = {"eta": eta} if use_ddim else {}
+        return loop(
+            key, model_fn, sched, cfg, noise=img,
+            clip_denoised=clip_denoised,
+            model_kwargs={"low_res": low_chunk},
+            noise_stream=stream, **kw,
+        )
+
+    jitted_stream = jax.jit(run_stream)
+
     outs = []
+    last_xT = last_st = None
     for start in range(0, padded, chunk):
         low_chunk = jax.device_put(
             jnp.asarray(low[start : start + chunk]), sharding
@@ -188,34 +213,42 @@ def denoise_patches(
             jnp.arange(start, start + chunk, dtype=jnp.int32),
             pmesh.data_sharding(mesh),
         )
-        noise_chunk = (
-            jax.device_put(jnp.asarray(noise[start : start + chunk]), sharding)
-            if noise is not None
-            else None
-        )
-        img = init_noise(key, low_chunk, noise_chunk, ids)
-        if noise_stream is not None:
-            # external-RNG parity path: one monolithic loop with the
-            # explicit [T, B, ...] per-step noise stream
-            from ..diffusion.sampling import ddim_sample_loop, p_sample_loop
-
+        if stream_fn is not None:
+            lo, hi = start, start + chunk
+            n_real = max(0, min(hi, P) - lo)
+            if n_real:
+                xT_np, stream_np = stream_fn(lo, lo + n_real)
+                last_xT, last_st = xT_np[-1], stream_np[-1]
+            else:
+                xT_np = np.empty((0,) + last_xT.shape, last_xT.dtype)
+                stream_np = np.empty((0,) + last_st.shape, last_st.dtype)
+            pad_n = (hi - lo) - xT_np.shape[0]
+            if pad_n:
+                xT_np = np.concatenate(
+                    [xT_np, np.repeat(last_xT[None], pad_n, axis=0)])
+                stream_np = np.concatenate(
+                    [stream_np, np.repeat(last_st[None], pad_n, axis=0)])
+            assert stream_np.shape[1] == T
+            noise_chunk = jax.device_put(
+                jnp.asarray(xT_np[..., None]), sharding)
             stream = jnp.asarray(
-                np.swapaxes(noise_stream[start : start + chunk], 0, 1)
+                np.swapaxes(stream_np[..., None], 0, 1))
+        else:
+            noise_chunk = (
+                jax.device_put(
+                    jnp.asarray(noise[start : start + chunk]), sharding)
+                if noise is not None
+                else None
             )
-
-            def run_stream(params, img, low_chunk, stream):
-                model_fn = lambda x, t, **kw: model_apply(
-                    {"params": params}, x, t, **kw)
-                loop = ddim_sample_loop if use_ddim else p_sample_loop
-                kw = {"eta": eta} if use_ddim else {}
-                return loop(
-                    key, model_fn, sched, cfg, noise=img,
-                    clip_denoised=clip_denoised,
-                    model_kwargs={"low_res": low_chunk},
-                    noise_stream=stream, **kw,
-                )
-
-            img = jax.jit(run_stream)(params, img, low_chunk, stream)
+            stream = (
+                jnp.asarray(
+                    np.swapaxes(noise_stream[start : start + chunk], 0, 1))
+                if noise_stream is not None
+                else None
+            )
+        img = init_noise(key, low_chunk, noise_chunk, ids)
+        if stream is not None:
+            img = jitted_stream(params, img, low_chunk, stream)
         else:
             t_cur = T
             while t_cur > 0:

@@ -39,11 +39,17 @@ class _Backend:
 
 
 class _LocalBackend(_Backend):
+    @staticmethod
+    def _fs(path: str) -> str:
+        # file:///abs/path -> /abs/path (plain paths pass through)
+        return path[len("file://"):] if path.startswith("file://") else path
+
     def read(self, path: str) -> bytes:
-        with open(path, "rb") as f:
+        with open(self._fs(path), "rb") as f:
             return f.read()
 
     def write(self, path: str, data: bytes) -> None:
+        path = self._fs(path)
         os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -51,9 +57,10 @@ class _LocalBackend(_Backend):
         os.replace(tmp, path)  # atomic on POSIX
 
     def exists(self, path: str) -> bool:
-        return osp.exists(path)
+        return osp.exists(self._fs(path))
 
     def listdir(self, path: str) -> List[str]:
+        path = self._fs(path)
         return os.listdir(path) if osp.isdir(path) else []
 
 
@@ -94,31 +101,65 @@ class _MemBackend(_Backend):
 
 
 class _GCSBackend(_Backend):
-    """gs:// via etils.epath (Orbax's path layer) or google.cloud.storage,
-    resolved at first use."""
+    """gs:// via etils.epath (Orbax's path layer), falling back to
+    google.cloud.storage; resolved at first use."""
 
-    def _epath(self):
+    @staticmethod
+    def _split_bucket(path: str):
+        rest = path[len("gs://"):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _impl(self):
         try:
             from etils import epath  # type: ignore
 
-            return epath
+            return ("epath", epath)
+        except ImportError:
+            pass
+        try:
+            from google.cloud import storage  # type: ignore
+
+            return ("gcs", storage.Client())
         except ImportError:
             raise RuntimeError(
                 "gs:// paths need `etils[epath]` or `google-cloud-storage` "
                 "installed; neither is available in this environment"
             )
 
+    def _blob(self, client, path: str):
+        bucket, key = self._split_bucket(path)
+        return client.bucket(bucket).blob(key)
+
     def read(self, path: str) -> bytes:
-        return self._epath().Path(path).read_bytes()
+        kind, impl = self._impl()
+        if kind == "epath":
+            return impl.Path(path).read_bytes()
+        return self._blob(impl, path).download_as_bytes()
 
     def write(self, path: str, data: bytes) -> None:
-        self._epath().Path(path).write_bytes(data)
+        kind, impl = self._impl()
+        if kind == "epath":
+            impl.Path(path).write_bytes(data)
+        else:
+            self._blob(impl, path).upload_from_string(bytes(data))
 
     def exists(self, path: str) -> bool:
-        return self._epath().Path(path).exists()
+        kind, impl = self._impl()
+        if kind == "epath":
+            return impl.Path(path).exists()
+        return self._blob(impl, path).exists()
 
     def listdir(self, path: str) -> List[str]:
-        return [p.name for p in self._epath().Path(path).iterdir()]
+        kind, impl = self._impl()
+        if kind == "epath":
+            return [p.name for p in impl.Path(path).iterdir()]
+        bucket, key = self._split_bucket(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        names = set()
+        for b in impl.list_blobs(bucket, prefix=prefix):
+            names.add(b.name[len(prefix):].split("/")[0])
+        return sorted(n for n in names if n)
 
 
 _SCHEMES: Dict[str, _Backend] = {

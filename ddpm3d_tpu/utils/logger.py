@@ -65,16 +65,16 @@ class HumanOutputFormat(KVWriter, SeqWriter):
         if not kvs:
             print("WARNING: tried to write empty key-value dict")
             return
-        rows = [
-            (
-                self._truncate(k),
-                self._truncate(
-                    f"{v:<8.3g}" if hasattr(v, "__float__") else str(v)
-                ),
+        # dict keyed on the truncated label: keys colliding after
+        # truncation collapse to one row (last wins), matching the
+        # reference's key2str-dict behavior (logger.py:66-71)
+        row_map = {
+            self._truncate(k): self._truncate(
+                f"{v:<8.3g}" if hasattr(v, "__float__") else str(v)
             )
             for k, v in kvs.items()
-        ]
-        rows.sort(key=lambda r: r[0].lower())
+        }
+        rows = sorted(row_map.items(), key=lambda r: r[0].lower())
         kw = max(len(k) for k, _ in rows)
         vw = max(len(v) for _, v in rows)
         rule = "-" * (kw + vw + 7)

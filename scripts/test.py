@@ -90,15 +90,29 @@ def main():
         ))
         T = sched.num_timesteps
         th.manual_seed(args.torch_noise_seed)
-        noise = np.empty((n_patches, ps, ps, ps), np.float32)
-        noise_stream = np.empty((n_patches, T, ps, ps, ps), np.float32)
-        for i in range(n_patches):
-            noise[i] = th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
-            for j in range(T):
-                noise_stream[i, j] = th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
+        consumed = {"next": 0}
+
+        def noise_stream(lo, hi):
+            # Memory-bounded provider: draws are generated per chunk in the
+            # reference's exact order (per patch: x_T then one randn per
+            # reverse step), so only one chunk's noises exist at a time —
+            # the full array would be P*(T+1)*96^3*4 B ~ 64 GB at
+            # production settings.
+            assert lo == consumed["next"], "noise stream consumed in order"
+            xTs, streams = [], []
+            for _ in range(lo, hi):
+                xTs.append(th.randn(1, 1, ps, ps, ps).numpy()[0, 0])
+                streams.append(np.stack([
+                    th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
+                    for _ in range(T)
+                ]))
+            consumed["next"] = hi
+            return (np.stack(xTs).astype(np.float32),
+                    np.stack(streams).astype(np.float32))
+
         logger.log(
             f"torch-matched noise stream: seed {args.torch_noise_seed}, "
-            f"{n_patches} patches x {T} steps"
+            f"{n_patches} patches x {T} steps (chunk-lazy)"
         )
 
     logger.log("creating samples...")

@@ -49,6 +49,31 @@ def test_checkpoint_on_mem_store():
     )
 
 
-def test_gs_scheme_clear_error():
-    with pytest.raises((RuntimeError, Exception)):
+def test_gs_scheme_clear_error(monkeypatch):
+    """With neither etils nor google-cloud-storage importable, gs:// must
+    fail with the actionable install hint, not an arbitrary error."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def blocked(name, *a, **kw):
+        if name.startswith("etils") or name.startswith("google"):
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    for mod in list(sys.modules):
+        if mod.startswith("etils") or mod.startswith("google.cloud"):
+            monkeypatch.delitem(sys.modules, mod, raising=False)
+    monkeypatch.setattr(builtins, "__import__", blocked)
+    with pytest.raises(RuntimeError, match="gs:// paths need"):
         blobio.read_bytes("gs://bucket/missing")
+
+
+def test_file_scheme_strips_prefix(tmp_path):
+    url = f"file://{tmp_path}/sub/x.bin"
+    blobio.write_bytes(url, b"abc")
+    # the bytes land at the real filesystem path, not a literal 'file:' dir
+    assert (tmp_path / "sub" / "x.bin").read_bytes() == b"abc"
+    assert blobio.read_bytes(url) == b"abc"
+    assert blobio.exists(url)

@@ -241,7 +241,10 @@ def test_small_volume_random_crop_pads():
     ds._rng = np.random.default_rng(0)
     high, kw = ds._random_patch(np.ones((4, 6, 6), np.float32),
                                 np.ones((4, 6, 6), np.float32))
-    assert high.shape == (4, 6, 6, 1)  # clamped, not padded past extents
+    # crops clamp to the extents but the output pads to the full cube so
+    # batches always stack (diverges from the reference's ragged clamp)
+    assert high.shape == (8, 8, 8, 1)
+    assert high[:4, :6, :6].min() == 1.0 and high[4:].max() == 0.0
 
 
 def test_2d_crop_helpers():

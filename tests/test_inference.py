@@ -92,3 +92,34 @@ def test_normalize_div4_roundtrip(rng):
         normalize_div4=True,
     )
     assert np.isfinite(r1).all()
+
+
+def test_noise_stream_callable_equals_array(rng):
+    """The chunk-lazy noise_stream provider produces the same output as the
+    materialized array form (incl. padded-chunk handling)."""
+    from ddpm3d_tpu.inference.pipeline import denoise_patches
+
+    model, sched, cfg, params = _setup()
+    T = sched.num_timesteps
+    P, ps = 3, 16
+    low = rng.normal(size=(P, 4, ps, ps)).astype(np.float32)
+    xT = rng.normal(size=(P, 4, ps, ps)).astype(np.float32)
+    stream = rng.normal(size=(P, T, 4, ps, ps)).astype(np.float32)
+
+    out_array = denoise_patches(
+        jax.random.key(0), model.apply, params, sched, cfg, low,
+        mesh=make_mesh(), noise=xT, noise_stream=stream,
+    )
+
+    consumed = {"next": 0}
+
+    def provider(lo, hi):
+        assert lo == consumed["next"]
+        consumed["next"] = hi
+        return xT[lo:hi], stream[lo:hi]
+
+    out_callable = denoise_patches(
+        jax.random.key(0), model.apply, params, sched, cfg, low,
+        mesh=make_mesh(), noise_stream=provider,
+    )
+    np.testing.assert_allclose(out_array, out_callable, atol=1e-5)
