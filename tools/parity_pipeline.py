@@ -112,21 +112,21 @@ def make_volume(path):
     return vol
 
 
-def run_reference(model_path, vol_path, out_dir):
+def run_reference(model_path, vol_path, out_dir, script="test.py",
+                  extra_flags=None):
     install_stubs()
     sys.path.insert(0, REFERENCE)
-    import torch as th
 
     # import the reference inference script by file path
     spec = importlib.util.spec_from_file_location(
-        "ref_test", os.path.join(REFERENCE, "scripts", "test.py")
+        "ref_test", os.path.join(REFERENCE, "scripts", script)
     )
     ref_test = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_test)
 
-    argv = ["test.py", "--base_samples", vol_path, "--model_path", model_path,
+    argv = [script, "--base_samples", vol_path, "--model_path", model_path,
             "--save_dir", out_dir]
-    for k, v in MODEL_FLAGS.items():
+    for k, v in {**MODEL_FLAGS, **(extra_flags or {})}.items():
         argv += [f"--{k}", str(v)]
     old_argv = sys.argv
     sys.argv = argv
@@ -161,15 +161,42 @@ def make_reference_model(model_path):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--variant", choices=["active", "backup"], default="active",
+        help="active: reference scripts/test.py (DDPM, Hann blend). "
+             "backup: scripts/test_backup.py (DDIM eta=0, clip@4-then-/4 "
+             "normalization, count-average blending, seed 42).")
+    args = ap.parse_args()
+    backup = args.variant == "backup"
+
     os.makedirs(WORK, exist_ok=True)
     import numpy as np
 
     model_path = os.path.join(WORK, "model000000.pt")
     vol_path = os.path.join(WORK, "input.tif")
-    ref_dir = os.path.join(WORK, "ref_out")
-    our_dir = os.path.join(WORK, "our_out")
+    ref_dir = os.path.join(WORK, f"ref_out_{args.variant}")
+    our_dir = os.path.join(WORK, f"our_out_{args.variant}")
+    if not backup and not os.path.isdir(ref_dir):
+        # keep compatibility with pre-variant runs of the active script
+        legacy_ref, legacy_our = (os.path.join(WORK, "ref_out"),
+                                  os.path.join(WORK, "our_out"))
+        if os.path.isdir(legacy_ref):
+            ref_dir, our_dir = legacy_ref, legacy_our
     os.makedirs(ref_dir, exist_ok=True)
     os.makedirs(our_dir, exist_ok=True)
+
+    ref_script = "test_backup.py" if backup else "test.py"
+    ref_npz_name = "samples_input.npz" if backup else "denoised_input.npz"
+    seed = 42 if backup else 10
+    extra_ref = {"use_ddim": True, "eta": 0.0,
+                 "timestep_respacing": "ddim10"} if backup else {}
+    extra_ours = (
+        {"use_ddim": True, "eta": 0.0, "timestep_respacing": "ddim10",
+         "normalize_div4": True, "blend": "count"} if backup else {}
+    )
 
     # idempotent stages so a partial run (the torch half takes ~1 h on CPU)
     # resumes instead of restarting
@@ -180,23 +207,28 @@ def main():
 
     if not os.path.exists(os.path.join(our_dir, "denoised_input.npz")):
         # ours as a subprocess (clean JAX/CPU env; .pt ingested by the
-        # torch importer; matched noise via --torch_noise_seed 10)
+        # torch importer; matched noise via --torch_noise_seed)
         argv = [sys.executable, os.path.join(REPO, "scripts", "test.py"),
                 "--base_samples", vol_path, "--model_path", model_path,
-                "--save_dir", our_dir, "--torch_noise_seed", "10"]
-        for k, v in MODEL_FLAGS.items():
+                "--save_dir", our_dir, "--torch_noise_seed", str(seed)]
+        for k, v in {**MODEL_FLAGS, **extra_ours}.items():
             argv += [f"--{k}", str(v)]
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         print("running ddpm3d_tpu scripts/test.py (CPU)...", flush=True)
         subprocess.run(argv, check=True, env=env, cwd=REPO)
 
-    if not os.path.exists(os.path.join(ref_dir, "denoised_input.npz")):
-        print("running reference scripts/test.py (CPU, single rank)...",
+    if not os.path.exists(os.path.join(ref_dir, ref_npz_name)):
+        print(f"running reference scripts/{ref_script} (CPU, single rank)...",
               flush=True)
-        run_reference(model_path, vol_path, ref_dir)
+        run_reference(model_path, vol_path, ref_dir, script=ref_script,
+                      extra_flags=extra_ref)
 
-    ref_npz = np.load(os.path.join(ref_dir, "denoised_input.npz"))["arr_0"]
+    ref_npz = np.load(os.path.join(ref_dir, ref_npz_name))["arr_0"]
     our_npz = np.load(os.path.join(our_dir, "denoised_input.npz"))["arr_0"]
+    if backup:
+        # the backup reference saves the /4-normalized domain in its .npz;
+        # our pipeline rescales the output back by 4
+        our_npz = our_npz / 4.0
     assert ref_npz.shape == our_npz.shape, (ref_npz.shape, our_npz.shape)
 
     # Compare on positively-weighted voxels only. At the Hann window's zero
@@ -204,13 +236,17 @@ def main():
     # (scripts/test.py:146: where=weight>0 admits weights ~1e-38), which
     # amplifies roundoff into arbitrarily large garbage at a handful of
     # voxels — its own numerical instability, not signal. Reproduce its
-    # float32 weight accumulation and mask weight > 1e-6.
+    # float32 weight accumulation and mask weight > 1e-6. (The backup
+    # variant's count blending has integer weights — mask count > 0.)
     H, W, Zv = ref_npz.shape
     res = MODEL_FLAGS["large_size"]
-    hann = np.hanning(res)
-    w3 = np.outer(np.outer(hann, hann).flatten(), hann).reshape(
-        res, res, res)
-    w3 = (w3 / w3.max()).astype(np.float32)
+    if backup:
+        w3 = np.ones((res, res, res), np.float32)
+    else:
+        hann = np.hanning(res)
+        w3 = np.outer(np.outer(hann, hann).flatten(), hann).reshape(
+            res, res, res)
+        w3 = (w3 / w3.max()).astype(np.float32)
     step = (H - res) / 2.0
     xs = [int(i * step) for i in range(3)]
     zs = [0, Zv - res]
@@ -220,7 +256,7 @@ def main():
             for z in zs:
                 weight[x:x + res, y:y + res, z:z + res] += w3[
                     : min(res, H - x), : min(res, W - y), : min(res, Zv - z)]
-    mask = weight > 1e-6
+    mask = weight > (0.5 if backup else 1e-6)
     diff = np.abs(ref_npz - our_npz)
     rng_val = float(ref_npz[mask].max() - ref_npz[mask].min())
     mse = float(np.mean((ref_npz[mask] - our_npz[mask]) ** 2))
