@@ -7,8 +7,11 @@ filename (train_util.py:250-313). This module keeps those conventions with
 semantics, and can also ingest the reference's ``.pt`` files via
 :mod:`ddpm3d_tpu.utils.torch_import`.
 
-Orbax is used when available for async checkpointing of large sharded
-states; the msgpack path has no dependencies and is the portable default.
+The msgpack format is deliberate: every state here is replicated under
+single-controller data parallelism (params fp32 ~620 MB at the flagship
+config), so a host-gathered byte blob is optimal; a sharded-checkpoint
+layer (Orbax-style) would only pay off for model-parallel param sharding,
+which this model family does not use.
 
 All paths go through :mod:`ddpm3d_tpu.utils.blobio`, so checkpoint
 directories may live on blob storage (``gs://...``, ``mem://...``) exactly
