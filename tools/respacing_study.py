@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--train_steps", type=int, default=3000)
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--model_channels", type=int, default=32,
+                    help="base width — the capacity axis of the study")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--per_step_ms", type=float, default=None,
                     help="measured flagship 96^3 per-step ms for the "
@@ -74,7 +76,8 @@ def main():
     # small but production-shaped: scale-shift norm, resblock up/down, no
     # attention, learn_sigma — the flagship topology at 1/4 width, 2 levels
     model = SuperResModel(
-        in_channels=1, model_channels=32, out_channels=2, num_res_blocks=1,
+        in_channels=1, model_channels=args.model_channels, out_channels=2,
+        num_res_blocks=1,
         attention_resolutions=(), channel_mult=(1, 2), dims=3,
         use_scale_shift_norm=True, resblock_updown=True,
         middle_attention=False, dtype=jnp.bfloat16,
@@ -207,7 +210,8 @@ def main():
 
     result = {
         "protocol": {
-            "model": "SuperResModel 32ch (1,2) noatt, learn_sigma",
+            "model": (f"SuperResModel {args.model_channels}ch (1,2) noatt, "
+                      "learn_sigma"),
             "train_steps": args.train_steps, "patch": S,
             "diffusion": "1000-step linear, epsilon, LEARNED_RANGE",
             "matched_x_T": True, "flagship_per_step_ms": per_step_ms,
