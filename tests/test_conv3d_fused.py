@@ -145,3 +145,31 @@ def test_unet_fused_path_matches_normal(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
+
+
+def test_unet_fused_two_levels(monkeypatch):
+    """Fused path through a 2-level UNet: stats thread across same-level
+    blocks, invalidate at up/down resampling, and concatenate with skip
+    stats in the decoder."""
+    from ddpm3d_tpu.models import SuperResModel
+
+    model = SuperResModel(
+        in_channels=1, model_channels=128, out_channels=2, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 1), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True,
+        middle_attention=False, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 1)), jnp.float32)
+    low = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 1)), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+
+    monkeypatch.setenv("DDPM3D_FUSED", "0")
+    params = model.init(jax.random.key(0), x, t, low_res=low)
+    ref = model.apply(params, x, t, low_res=low)
+
+    monkeypatch.setenv("DDPM3D_FUSED", "interpret")
+    got = model.apply(params, x, t, low_res=low)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3
+    )
