@@ -93,6 +93,8 @@ def denoise_patches(
     *,
     use_ddim: bool = False,
     eta: float = 0.0,
+    use_dpm_solver: bool = False,
+    dpm_order: int = 2,
     clip_denoised: bool = True,
     mesh=None,
     per_device_batch: Optional[int] = None,
@@ -102,6 +104,10 @@ def denoise_patches(
     segment_steps: Optional[int] = 100,
 ) -> np.ndarray:
     """Run the full reverse chain on a stack of conditioner patches.
+
+    ``use_dpm_solver`` selects the DPM-Solver++(2M) ODE sampler
+    (diffusion/dpm_solver.py — beyond-reference capability; use a spaced
+    schedule for the step count).
 
     ``low_patches``: [P, Z, X, Y] float32. Returns denoised [P, Z, X, Y].
 
@@ -184,9 +190,21 @@ def denoise_patches(
             if pad else [noise_stream]
         )[..., None]
 
-    # external-RNG parity path (jitted ONCE; chunk shapes are uniform)
+    from ..diffusion.dpm_solver import dpm_solver_pp_sample_loop
     from ..diffusion.sampling import ddim_sample_loop, p_sample_loop
 
+    def run_dpm(params, img, low_chunk):
+        model_fn = lambda x, t, **kw: model_apply(
+            {"params": params}, x, t, **kw)
+        return dpm_solver_pp_sample_loop(
+            key, model_fn, sched, cfg, noise=img,
+            clip_denoised=clip_denoised,
+            model_kwargs={"low_res": low_chunk}, order=dpm_order,
+        )
+
+    jitted_dpm = jax.jit(run_dpm)
+
+    # external-RNG parity path (jitted ONCE; chunk shapes are uniform)
     def run_stream(params, img, low_chunk, stream):
         model_fn = lambda x, t, **kw: model_apply(
             {"params": params}, x, t, **kw)
@@ -249,6 +267,8 @@ def denoise_patches(
         img = init_noise(key, low_chunk, noise_chunk, ids)
         if stream is not None:
             img = jitted_stream(params, img, low_chunk, stream)
+        elif use_dpm_solver:
+            img = jitted_dpm(params, img, low_chunk)
         else:
             t_cur = T
             while t_cur > 0:
@@ -276,6 +296,8 @@ def denoise_volume(
     num_xy_patches: int = 3,
     use_ddim: bool = False,
     eta: float = 0.0,
+    use_dpm_solver: bool = False,
+    dpm_order: int = 2,
     clip_denoised: bool = True,
     mesh=None,
     per_device_batch: Optional[int] = None,
@@ -341,7 +363,8 @@ def denoise_volume(
     denoised_all = denoise_patches(
         jax.random.fold_in(key, 1000003), model_apply, params, sched, cfg,
         low_all,
-        use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
+        use_ddim=use_ddim, eta=eta, use_dpm_solver=use_dpm_solver,
+        dpm_order=dpm_order, clip_denoised=clip_denoised,
         mesh=mesh, per_device_batch=per_device_batch,
         noise=noise, noise_stream=noise_stream,
         progress_cb=lambda done, total: logger.log(

@@ -128,6 +128,8 @@ def main():
         patch_size=args.large_size,
         use_ddim=args.use_ddim,
         eta=args.eta,
+        use_dpm_solver=args.use_dpm_solver,
+        dpm_order=args.dpm_order,
         clip_denoised=args.clip_denoised,
         mesh=make_mesh(),
         per_device_batch=args.batch_size,
@@ -163,6 +165,10 @@ def create_argparser():
         num_samples=1,
         use_ddim=False,
         eta=0.0,
+        # beyond-reference: DPM-Solver++(2M) ODE sampler
+        # (diffusion/dpm_solver.py); pair with --timestep_respacing ddimN
+        use_dpm_solver=False,
+        dpm_order=2,
         timestep_respacing="",
         base_samples="",
         model_path="",

@@ -123,3 +123,15 @@ def test_noise_stream_callable_equals_array(rng):
         mesh=make_mesh(), noise_stream=provider,
     )
     np.testing.assert_allclose(out_array, out_callable, atol=1e-5)
+
+
+def test_denoise_volume_dpm_solver(rng):
+    model, sched, cfg, params = _setup()
+    vol = rng.normal(size=(20, 40, 40)).astype(np.float32)
+    result, stats = denoise_volume(
+        jax.random.key(0), model.apply, params, sched, cfg, vol,
+        patch_size=16, num_xy_patches=3, mesh=make_mesh(),
+        use_dpm_solver=True,
+    )
+    assert result.shape == (40, 40, 20)
+    assert np.isfinite(result).all()
