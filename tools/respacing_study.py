@@ -60,8 +60,8 @@ def main():
 
     from ddpm3d_tpu.diffusion import (
         DiffusionConfig, LossType, MeanType, VarType,
-        ddim_sample_loop, linear_beta_schedule, make_schedule,
-        make_spaced_schedule, p_sample_loop, space_timesteps,
+        ddim_sample_loop, dpm_solver_pp_sample_loop, linear_beta_schedule,
+        make_schedule, make_spaced_schedule, p_sample_loop, space_timesteps,
     )
     from ddpm3d_tpu.models import SuperResModel
     from ddpm3d_tpu.training import TrainState, make_optimizer, make_train_step
@@ -153,7 +153,7 @@ def main():
         for i in range(len(evals))]
     ema = state.ema_params[0]
 
-    def sample(respace, use_ddim, low, x_T):
+    def sample(respace, sampler, low, x_T):
         if respace == "1000":
             sp = sched
         else:
@@ -163,19 +163,27 @@ def main():
         def run(params, key, low, noise):
             model_fn = lambda x, t, **kw: model.apply(
                 {"params": params}, x, t, **kw)
-            loop = ddim_sample_loop if use_ddim else p_sample_loop
-            kw = {"eta": 0.0} if use_ddim else {}
-            return loop(key, model_fn, sp, cfg, noise=noise,
-                        model_kwargs={"low_res": low}, **kw)
+            if sampler == "ddim":
+                return ddim_sample_loop(key, model_fn, sp, cfg, noise=noise,
+                                        model_kwargs={"low_res": low},
+                                        eta=0.0)
+            if sampler == "dpm2m":
+                return dpm_solver_pp_sample_loop(
+                    key, model_fn, sp, cfg, noise=noise,
+                    model_kwargs={"low_res": low}, order=2)
+            return p_sample_loop(key, model_fn, sp, cfg, noise=noise,
+                                 model_kwargs={"low_res": low})
 
         out = jax.jit(run)(ema, jax.random.key(7), low, jnp.asarray(x_T))
         return np.clip((np.asarray(out)[0, ..., 0] + 1.0) / 2.0, 0, 1)
 
     settings = []
     for n in (1000, 250, 100, 50, 25):
-        settings.append((f"ddpm{n}", str(n) if n < 1000 else "1000", False))
+        settings.append((f"ddpm{n}", str(n) if n < 1000 else "1000", "ddpm"))
     for n in (250, 100, 50, 25):
-        settings.append((f"ddim{n}", f"ddim{n}", True))
+        settings.append((f"ddim{n}", f"ddim{n}", "ddim"))
+    for n in (50, 25):
+        settings.append((f"dpm2m{n}", f"ddim{n}", "dpm2m"))
 
     ref_outs = [None] * len(evals)
     rows = []
@@ -183,11 +191,11 @@ def main():
         [psnr(c, n, data_range=1.0) for n, c in evals]))
     s_noisy = float(np.mean(
         [ssim(c, n, data_range=1.0) for n, c in evals]))
-    for name, respace, use_ddim in settings:
+    for name, respace, sampler in settings:
         t0 = time.time()
         pc, sc, pr, sr = [], [], [], []
         for i, (noisy, clean) in enumerate(evals):
-            out = sample(respace, use_ddim, lows[i], x_Ts[i])
+            out = sample(respace, sampler, lows[i], x_Ts[i])
             if ref_outs[i] is None:
                 ref_outs[i] = out  # ddpm1000 is the reference output
             pc.append(psnr(clean, out, data_range=1.0))
@@ -195,7 +203,9 @@ def main():
             pr.append(psnr(ref_outs[i], out, data_range=1.0))
             sr.append(ssim(ref_outs[i], out, data_range=1.0))
         dt = time.time() - t0
-        steps = int(name.replace("ddpm", "").replace("ddim", ""))
+        import re as _re
+
+        steps = int(_re.search(r"(\d+)$", name).group(1))
         # projection: 18 patches / 8 chips at the measured flagship step cost
         proj_s = steps * per_step_ms / 1000.0 * 18 / 8
         rows.append({
