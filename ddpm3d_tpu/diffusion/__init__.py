@@ -36,6 +36,7 @@ from .losses import (
     training_losses,
     vb_terms_bpd,
 )
+from .calibration import eps_corrected_model_fn, estimate_eps_scale
 from .dpm_solver import dpm_solver_pp_sample_loop
 from .sampling import (
     ddim_reverse_sample,
