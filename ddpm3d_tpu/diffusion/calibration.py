@@ -93,17 +93,25 @@ def eps_corrected_model_fn(
     model_fn: Callable,
     lam_table: np.ndarray,
     learn_sigma: bool = True,
+    rescale_timesteps: bool = False,
+    original_num_steps: int = 1000,
 ) -> Callable:
     """Wrap ``model_fn`` so its eps output is divided by lambda(t).
 
     ``lam_table`` indexes ORIGINAL timesteps (the model's t domain), so
     the wrapper composes transparently with spaced schedules (which remap
-    t before calling the model)."""
+    t before calling the model). With ``rescale_timesteps=True`` the model
+    receives float t scaled to 0..1000 (process.model_timesteps); pass the
+    matching flags so the wrapper inverts that scaling before indexing."""
     lam = jnp.asarray(lam_table, jnp.float32)
 
     def wrapped(x, t, **kw):
         out = model_fn(x, t, **kw)
-        scale = lam[jnp.clip(t, 0, lam.shape[0] - 1)]
+        if rescale_timesteps:
+            t_idx = jnp.round(t * (original_num_steps / 1000.0)).astype(jnp.int32)
+        else:
+            t_idx = t.astype(jnp.int32)
+        scale = lam[jnp.clip(t_idx, 0, lam.shape[0] - 1)]
         scale = scale.reshape((-1,) + (1,) * (out.ndim - 1))
         if learn_sigma:
             C = out.shape[-1] // 2

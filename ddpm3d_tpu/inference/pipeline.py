@@ -170,6 +170,16 @@ def denoise_patches(
         mesh, spatial_dim=2 if n_spatial > 1 else None
     )
 
+    # Per-step noise streams are [T, B, Z, X, Y, 1] (batch on axis 1 after
+    # the swapaxes below); shard that axis over ``data`` like the images so
+    # a production-scale chunk's stream (~28 GB at 96^3/T=1000/chunk=8)
+    # splits across HBMs instead of landing on one device.
+    from jax.sharding import NamedSharding, PartitionSpec as _PS
+    stream_spec = [None, pmesh.DATA_AXIS, None, None, None, None]
+    if n_spatial > 1:
+        stream_spec[3] = pmesh.SPATIAL_AXIS
+    stream_sharding = NamedSharding(mesh, _PS(*stream_spec))
+
     padded = pmesh.pad_to_multiple(P, chunk)
     pad = padded - P
     low = np.concatenate([low_patches] + [low_patches[-1:]] * pad)[..., None]
@@ -249,8 +259,10 @@ def denoise_patches(
             assert stream_np.shape[1] == T
             noise_chunk = jax.device_put(
                 jnp.asarray(xT_np[..., None]), sharding)
-            stream = jnp.asarray(
-                np.swapaxes(stream_np[..., None], 0, 1))
+            stream = jax.device_put(
+                np.ascontiguousarray(np.swapaxes(stream_np[..., None], 0, 1)),
+                stream_sharding,
+            )
         else:
             noise_chunk = (
                 jax.device_put(
@@ -259,8 +271,12 @@ def denoise_patches(
                 else None
             )
             stream = (
-                jnp.asarray(
-                    np.swapaxes(noise_stream[start : start + chunk], 0, 1))
+                jax.device_put(
+                    np.ascontiguousarray(
+                        np.swapaxes(noise_stream[start : start + chunk], 0, 1)
+                    ),
+                    stream_sharding,
+                )
                 if noise_stream is not None
                 else None
             )

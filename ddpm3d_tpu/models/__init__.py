@@ -28,3 +28,10 @@ from .seg import (
     SegModelv3,
     SegUNetModel,
 )
+from .aliases import (
+    EncoderUNetModelv2,
+    EncoderUNetModelv3,
+    SegModelv2_6c,
+    SegModelv3_6c,
+    UNetModelv2,
+)

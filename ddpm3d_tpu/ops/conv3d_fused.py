@@ -175,7 +175,11 @@ def conv3d_fused(
     out_dtype = x.dtype
     prologue = prologue_g is not None
 
-    Wp = -(-(W + kw - 1) // 8) * 8
+    # Pad the minor-most spatial dim to the dtype's sublane multiple (8 for
+    # f32, 16 for bf16/f16) so VMEM scratch and DMA slices stay aligned to
+    # the (sublane, 128) tile for 2-byte dtypes too.
+    sub = _sublane(x.dtype)
+    Wp = -(-(W + kw - 1) // sub) * sub
     xp = jnp.pad(
         x,
         ((0, 0), (kd // 2, kd // 2), (kh // 2, kh // 2),
