@@ -21,7 +21,9 @@ from .process import (
     model_timesteps,
     p_mean_variance,
     predict_eps_from_xstart,
+    predict_v,
     predict_xstart_from_eps,
+    predict_xstart_from_v,
     predict_xstart_from_xprev,
     q_mean_variance,
     q_posterior_mean_variance,

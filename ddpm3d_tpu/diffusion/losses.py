@@ -147,6 +147,10 @@ def training_losses(
             target = process.q_posterior_mean_variance(sched, x_start, x_t, t)[0]
         elif cfg.mean_type == MeanType.START_X:
             target = x_start
+        elif cfg.mean_type == MeanType.VELOCITY:
+            # v-MSE == (SNR+1)-weighted x0-MSE, the "SNR+1" weighting of
+            # Salimans & Ho 2022 — the fewer-step-robust parameterization.
+            target = process.predict_v(sched, x_start, t, noise)
         else:
             target = noise
         assert model_output.shape == target.shape == x_start.shape

@@ -24,11 +24,19 @@ from .schedules import Schedule
 
 
 class MeanType(enum.Enum):
-    """What the model's mean head predicts (reference gd.py:65-72)."""
+    """What the model's mean head predicts (reference gd.py:65-72).
+
+    ``VELOCITY`` is a beyond-reference parameterization (Salimans & Ho,
+    "Progressive Distillation for Fast Sampling of Diffusion Models"):
+    the model predicts v = sqrt(acp)*eps - sqrt(1-acp)*x0, which stays
+    well-conditioned as t -> T (eps-prediction's x0 recovery divides by
+    sqrt(acp) -> 0 there, amplifying model bias over respaced chains —
+    the failure mode measured in tools/respacing_study.py)."""
 
     PREVIOUS_X = "previous_x"
     START_X = "start_x"
     EPSILON = "epsilon"
+    VELOCITY = "velocity"
 
 
 class VarType(enum.Enum):
@@ -136,6 +144,27 @@ def predict_xstart_from_xprev(sched, x_t, t, xprev):
     return xprev / coef1 - (coef2 / coef1) * x_t
 
 
+def predict_xstart_from_v(sched, x_t, t, v):
+    """x̂_0 from predicted velocity: x0 = sqrt(acp)*x_t - sqrt(1-acp)*v.
+
+    Derived from x_t = sqrt(acp)*x0 + sqrt(1-acp)*eps and the definition
+    v = sqrt(acp)*eps - sqrt(1-acp)*x0 (Salimans & Ho 2022, eq. 10-11)."""
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
+def predict_v(sched, x_start, t, noise):
+    """Velocity training target v = sqrt(acp)*eps - sqrt(1-acp)*x0."""
+    nd = x_start.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * noise
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+    )
+
+
 def predict_eps_from_xstart(sched, x_t, t, pred_xstart):
     """Recover implied eps from x̂_0 (gd.py:345-349)."""
     nd = x_t.ndim
@@ -208,9 +237,13 @@ def p_mean_variance(
             predict_xstart_from_xprev(sched, x, t, model_output_f32)
         )
         model_mean = model_output_f32
-    elif cfg.mean_type in (MeanType.START_X, MeanType.EPSILON):
+    elif cfg.mean_type in (MeanType.START_X, MeanType.EPSILON, MeanType.VELOCITY):
         if cfg.mean_type == MeanType.START_X:
             pred_xstart = process_xstart(model_output_f32)
+        elif cfg.mean_type == MeanType.VELOCITY:
+            pred_xstart = process_xstart(
+                predict_xstart_from_v(sched, x, t, model_output_f32)
+            )
         else:
             pred_xstart = process_xstart(
                 predict_xstart_from_eps(sched, x, t, model_output_f32)

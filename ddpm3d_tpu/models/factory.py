@@ -157,11 +157,15 @@ def create_gaussian_diffusion(
     noise_schedule="linear",
     use_kl=False,
     predict_xstart=False,
+    predict_v=False,
     rescale_timesteps=False,
     rescale_learned_sigmas=False,
     timestep_respacing="",
 ) -> Tuple[Schedule, DiffusionConfig]:
-    """(reference script_util.py:578-616 -> respace.py:63-86)"""
+    """(reference script_util.py:578-616 -> respace.py:63-86)
+
+    ``predict_v`` (beyond-reference) selects the v-parameterization;
+    it wins over ``predict_xstart`` if both are set."""
     betas = get_named_beta_schedule(noise_schedule, steps)
     if use_kl:
         loss_type = LossType.RESCALED_KL
@@ -175,7 +179,11 @@ def create_gaussian_diffusion(
         betas, sorted(space_timesteps(steps, timestep_respacing))
     )
     cfg = DiffusionConfig(
-        mean_type=(MeanType.EPSILON if not predict_xstart else MeanType.START_X),
+        mean_type=(
+            MeanType.VELOCITY
+            if predict_v
+            else (MeanType.EPSILON if not predict_xstart else MeanType.START_X)
+        ),
         var_type=(
             (VarType.FIXED_LARGE if not sigma_small else VarType.FIXED_SMALL)
             if not learn_sigma
@@ -211,6 +219,7 @@ def sr_create_model_and_diffusion(
     use_scale_shift_norm,
     resblock_updown,
     use_fp16,
+    predict_v=False,
 ):
     """(reference script_util.py:280-331)"""
     model = sr_create_model(
@@ -236,6 +245,7 @@ def sr_create_model_and_diffusion(
         noise_schedule=noise_schedule,
         use_kl=use_kl,
         predict_xstart=predict_xstart,
+        predict_v=predict_v,
         rescale_timesteps=rescale_timesteps,
         rescale_learned_sigmas=rescale_learned_sigmas,
         timestep_respacing=timestep_respacing,
@@ -267,6 +277,7 @@ def create_model_and_diffusion(
     resblock_updown,
     use_fp16,
     use_new_attention_order,
+    predict_v=False,
 ):
     """(reference script_util.py:74-127)"""
     model = create_model(
@@ -293,6 +304,7 @@ def create_model_and_diffusion(
         noise_schedule=noise_schedule,
         use_kl=use_kl,
         predict_xstart=predict_xstart,
+        predict_v=predict_v,
         rescale_timesteps=rescale_timesteps,
         rescale_learned_sigmas=rescale_learned_sigmas,
         timestep_respacing=timestep_respacing,
@@ -317,6 +329,7 @@ def create_classifier_and_diffusion(
     predict_xstart,
     rescale_timesteps,
     rescale_learned_sigmas,
+    predict_v=False,
 ):
     """(reference script_util.py:187-225)"""
     classifier = create_classifier(
@@ -335,6 +348,7 @@ def create_classifier_and_diffusion(
         noise_schedule=noise_schedule,
         use_kl=use_kl,
         predict_xstart=predict_xstart,
+        predict_v=predict_v,
         rescale_timesteps=rescale_timesteps,
         rescale_learned_sigmas=rescale_learned_sigmas,
         timestep_respacing=timestep_respacing,

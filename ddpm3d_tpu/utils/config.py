@@ -26,6 +26,9 @@ def diffusion_defaults() -> Dict[str, Any]:
         timestep_respacing="",
         use_kl=False,
         predict_xstart=False,
+        # beyond-reference: v-parameterization (Salimans & Ho 2022) — the
+        # fewer-step-robust training target; see diffusion/process.py
+        predict_v=False,
         rescale_timesteps=False,
         rescale_learned_sigmas=False,
     )

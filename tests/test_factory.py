@@ -36,6 +36,8 @@ def test_sr_defaults_match_reference_keys():
         "predict_xstart", "rescale_timesteps", "rescale_learned_sigmas",
         "use_checkpoint", "use_scale_shift_norm", "resblock_updown",
         "use_fp16",
+        # beyond-reference flag: v-parameterization training target
+        "predict_v",
     }
     assert set(d.keys()) == expected
 
