@@ -130,6 +130,18 @@ def fold_gn_affine(
     return g, b
 
 
+def fold_bd(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, D, H, W, C] -> [(B*D), H, W, C] (free reshape, row-major)."""
+    B, D = x.shape[:2]
+    return x.reshape((B * D,) + x.shape[2:])
+
+
+def unfold_bd(x: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """[(B*D), H, W, C] -> [B, D, H, W, C]."""
+    BD = x.shape[0]
+    return x.reshape((batch, BD // batch) + x.shape[1:])
+
+
 def group_norm_f32(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -139,6 +151,7 @@ def group_norm_f32(
     film_scale: Optional[jnp.ndarray] = None,
     film_shift: Optional[jnp.ndarray] = None,
     apply_silu: bool = False,
+    fold_batch: Optional[int] = None,
 ) -> jnp.ndarray:
     """GroupNorm over the trailing channel axis, computed in float32 and cast
     back to the input dtype (reference GroupNorm32, nn.py:17-19).
@@ -150,12 +163,36 @@ def group_norm_f32(
     single per-channel affine applied in the normalize pass — the fused form
     of the reference's scale-shift-norm chain (unet.py:248-252), saving full
     HBM round-trips at 96^3 resolution.
+
+    ``fold_batch=B`` declares x as a B*D-FOLDED volume [(B*D), H, W, C]
+    (the network-wide 4-D layout, ops/conv3d.py:conv3d_folded): statistics
+    additionally aggregate over each batch's D rows and the affine repeats
+    back to the folded axis — numerically identical to the 5-D form.
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     C = xf.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
-    if _gn_stats_mode() == "chanwise":
+    if fold_batch is not None:
+        reps = xf.shape[0] // fold_batch
+        spatial_axes = tuple(range(1, xf.ndim - 1))
+        Cg = C // num_groups
+        n = math.prod(xf.shape[1:-1]) * Cg * reps
+        s1 = jnp.sum(xf, axis=spatial_axes).reshape(fold_batch, reps, C).sum(1)
+        s2 = jnp.sum(xf * xf, axis=spatial_axes).reshape(
+            fold_batch, reps, C
+        ).sum(1)
+        gs1 = s1.reshape(fold_batch, num_groups, Cg).sum(-1)
+        gs2 = s2.reshape(fold_batch, num_groups, Cg).sum(-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+        mean_c = jnp.repeat(mean, Cg, axis=-1)
+        rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), Cg, axis=-1)
+        from jax.ad_checkpoint import checkpoint_name
+
+        mean_c = checkpoint_name(mean_c, "gn_stats")
+        rstd_c = checkpoint_name(rstd_c, "gn_stats")
+    elif _gn_stats_mode() == "chanwise":
         mean_c, rstd_c = _group_stats(xf, num_groups, eps)
         # Named so the remat policy can SAVE these [B,C] scalars instead of
         # re-running the full spatial reduction in the backward pass
@@ -188,6 +225,11 @@ def group_norm_f32(
         b = b * fs
     if film_shift is not None:
         b = b + film_shift.astype(jnp.float32)
+    if fold_batch is not None:
+        # broadcast the per-batch affine back over each batch's D rows
+        reps = xf.shape[0] // fold_batch
+        g = jnp.repeat(g, reps, axis=0)
+        b = jnp.repeat(b, reps, axis=0)
     bshape = (g.shape[0],) + (1,) * (xf.ndim - 2) + (C,)
     out = xf * g.reshape(bshape) + b.reshape(bshape)
     if apply_silu:
@@ -217,6 +259,7 @@ class GroupNorm32(fnn.Module):
         apply_silu: bool = False,
         stats: Optional[jnp.ndarray] = None,
         fold_only: bool = False,
+        fold_batch: Optional[int] = None,
     ):
         C = x.shape[-1]
         scale = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
@@ -232,7 +275,7 @@ class GroupNorm32(fnn.Module):
         return group_norm_f32(
             x, scale, bias, self.num_groups, self.eps,
             film_scale=film_scale, film_shift=film_shift,
-            apply_silu=apply_silu,
+            apply_silu=apply_silu, fold_batch=fold_batch,
         )
 
 
@@ -250,6 +293,7 @@ def conv_nd(
     zero_init: bool = False,
     dtype=None,
     name: Optional[str] = None,
+    fold_batch: Optional[int] = None,
 ) -> fnn.Conv:
     """N-D convolution (channels-last). ``zero_init`` gives the reference's
     zero_module behavior for output heads (nn.py:68-74).
@@ -257,7 +301,10 @@ def conv_nd(
     Padding defaults to explicit symmetric k//2 per spatial dim — torch's
     ``padding=k//2`` semantics. This matters for strided convs: XLA "SAME"
     pads (0,1) for stride 2 on even extents, shifting the sampling grid off
-    the reference's (unet.py:129-133 uses padding=1)."""
+    the reference's (unet.py:129-133 uses padding=1).
+
+    ``fold_batch=B`` (dims==3 only) builds the module for B*D-folded 4-D
+    activations (ops/conv3d.py:Conv3DFolded); params stay identical."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size,) * dims
     if isinstance(stride, int):
@@ -268,6 +315,22 @@ def conv_nd(
         fnn.initializers.zeros if zero_init else default_conv_init()
     )
     bias_init = fnn.initializers.zeros
+    if dims == 3 and fold_batch is not None:
+        from ..ops.conv3d import Conv3DFolded
+
+        return Conv3DFolded(
+            features=features,
+            batch=fold_batch,
+            kernel_size=tuple(kernel_size),
+            strides=tuple(stride),
+            padding=tuple(padding),
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
     if (
         dims == 3
         and max(kernel_size) > 1

@@ -42,6 +42,17 @@ from .plan import (
 )
 
 
+def _fold_enabled() -> bool:
+    """Network-wide B*D-folded activation layout (ops/conv3d.py:
+    conv3d_folded): every interior activation is 4-D [(B*D), H, W, C], so
+    XLA's layout assignment never sees 5-D tensors (measured round 2: 5-D
+    batch>1 activations flip between (2,128)/(8,128) tilings, inserting
+    copies worth ~3x the step). DDPM3D_FOLD in {auto (default, on), 1, 0}."""
+    import os
+
+    return os.environ.get("DDPM3D_FOLD", "auto").lower() in ("auto", "1")
+
+
 def _fused_mode() -> str:
     """Fused ResBlock conv path (ops/conv3d_fused.py): DDPM3D_FUSED=1
     enables it on TPU (compiled Pallas); DDPM3D_FUSED=interpret runs the
@@ -83,6 +94,8 @@ class ResBlock(fnn.Module):
     use_conv_skip: bool = False
     dtype: Any = jnp.float32
     fused: bool = False
+    # B*D-folded 4-D activations: the true batch size (None = unfolded 5-D)
+    fold_batch: Optional[int] = None
 
     def _fusable(self, x, train) -> bool:
         from ..ops.conv3d_fused import conv3d_fused_applicable
@@ -112,7 +125,8 @@ class ResBlock(fnn.Module):
         x_stats: Optional[jnp.ndarray] = None,
     ):
         in_ch = x.shape[-1]
-        sdims = x.ndim - 2
+        folded = self.fold_batch is not None
+        sdims = 3 if folded else x.ndim - 2
 
         if self._fusable(x, train):
             import functools
@@ -153,15 +167,21 @@ class ResBlock(fnn.Module):
             )
             return out, out_stats
 
-        h = prim.GroupNorm32(name="in_norm")(x, apply_silu=True)
+        fb = self.fold_batch
+        h = prim.GroupNorm32(name="in_norm")(x, apply_silu=True, fold_batch=fb)
         if self.up:
             h = prim.upsample_nearest_hw(h)
             x = prim.upsample_nearest_hw(x)
         elif self.down:
-            stride = prim.downsample_stride(sdims)
+            # folded volumes are 4-D with H,W on axes 1,2 — the (1,2,2)
+            # anisotropic stride reduces to a plain (2,2) window
+            stride = (2, 2) if folded else prim.downsample_stride(sdims)
             h = prim.avg_pool_nd(h, stride)
             x = prim.avg_pool_nd(x, stride)
-        h = prim.conv_nd(sdims, self.out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+        h = prim.conv_nd(
+            sdims, self.out_ch, 3, dtype=self.dtype, name="in_conv",
+            fold_batch=fb,
+        )(h)
 
         emb_out = prim.dense(
             2 * self.out_ch if self.use_scale_shift_norm else self.out_ch,
@@ -174,25 +194,41 @@ class ResBlock(fnn.Module):
             # instead of three; reference chain at unet.py:248-252)
             scale, shift = jnp.split(emb_out.astype(jnp.float32), 2, axis=-1)
             h = prim.GroupNorm32(name="out_norm")(
-                h, film_scale=scale, film_shift=shift, apply_silu=True
+                h, film_scale=scale, film_shift=shift, apply_silu=True,
+                fold_batch=fb,
             )
         else:
-            emb_b = emb_out.reshape(
-                (emb_out.shape[0],) + (1,) * sdims + (emb_out.shape[-1],)
-            ).astype(h.dtype)
+            if folded:
+                reps = h.shape[0] // emb_out.shape[0]
+                emb_b = jnp.repeat(emb_out, reps, axis=0).reshape(
+                    (h.shape[0],) + (1,) * (h.ndim - 2) + (emb_out.shape[-1],)
+                ).astype(h.dtype)
+            else:
+                emb_b = emb_out.reshape(
+                    (emb_out.shape[0],) + (1,) * sdims + (emb_out.shape[-1],)
+                ).astype(h.dtype)
             h = h + emb_b
-            h = prim.GroupNorm32(name="out_norm")(h, apply_silu=True)
+            h = prim.GroupNorm32(name="out_norm")(
+                h, apply_silu=True, fold_batch=fb
+            )
         h = fnn.Dropout(self.dropout, name="drop")(h, deterministic=not train)
         h = prim.conv_nd(
-            sdims, self.out_ch, 3, zero_init=True, dtype=self.dtype, name="out_conv"
+            sdims, self.out_ch, 3, zero_init=True, dtype=self.dtype,
+            name="out_conv", fold_batch=fb,
         )(h)
 
         if in_ch == self.out_ch:
             skip = x
         elif self.use_conv_skip:
-            skip = prim.conv_nd(sdims, self.out_ch, 3, dtype=self.dtype, name="skip")(x)
+            skip = prim.conv_nd(
+                sdims, self.out_ch, 3, dtype=self.dtype, name="skip",
+                fold_batch=fb,
+            )(x)
         else:
-            skip = prim.conv_nd(sdims, self.out_ch, 1, dtype=self.dtype, name="skip")(x)
+            skip = prim.conv_nd(
+                sdims, self.out_ch, 1, dtype=self.dtype, name="skip",
+                fold_batch=fb,
+            )(x)
         return skip + h
 
 
@@ -204,13 +240,15 @@ class AttentionBlock(fnn.Module):
     num_heads: int = 1
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32
+    fold_batch: Optional[int] = None
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B = x.shape[0]
+        # under the folded layout D is just another flattened token axis —
+        # attention flattens all spatial dims anyway (reference unet.py:344)
+        B = self.fold_batch if self.fold_batch is not None else x.shape[0]
         C = x.shape[-1]
-        spatial = x.shape[1:-1]
-        T = int(math.prod(spatial))
+        T = int(math.prod(x.shape[:-1])) // B
         H = self.num_heads
         ch = C // H
         assert C % H == 0
@@ -249,17 +287,20 @@ class Downsample(fnn.Module):
     out_ch: int
     use_conv: bool = True
     dtype: Any = jnp.float32
+    fold_batch: Optional[int] = None
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        sdims = x.ndim - 2
+        folded = self.fold_batch is not None
+        sdims = 3 if folded else x.ndim - 2
         stride = prim.downsample_stride(sdims)
         if self.use_conv:
             return prim.conv_nd(
-                sdims, self.out_ch, 3, stride=stride, dtype=self.dtype, name="op"
+                sdims, self.out_ch, 3, stride=stride, dtype=self.dtype,
+                name="op", fold_batch=self.fold_batch,
             )(x)
         assert x.shape[-1] == self.out_ch
-        return prim.avg_pool_nd(x, stride)
+        return prim.avg_pool_nd(x, stride[1:] if folded else stride)
 
 
 class Upsample(fnn.Module):
@@ -268,13 +309,18 @@ class Upsample(fnn.Module):
     out_ch: int
     use_conv: bool = True
     dtype: Any = jnp.float32
+    fold_batch: Optional[int] = None
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        sdims = x.ndim - 2
+        folded = self.fold_batch is not None
+        sdims = 3 if folded else x.ndim - 2
         x = prim.upsample_nearest_hw(x)
         if self.use_conv:
-            x = prim.conv_nd(sdims, self.out_ch, 3, dtype=self.dtype, name="conv")(x)
+            x = prim.conv_nd(
+                sdims, self.out_ch, 3, dtype=self.dtype, name="conv",
+                fold_batch=self.fold_batch,
+            )(x)
         return x
 
 
@@ -284,10 +330,14 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
     Returns (spec, module) pairs so application dispatches on the *spec*
     type — robust to transformed (remat'd) module classes."""
     mods = []
+    fb = cfg.get("fold_batch")
     for j, spec in enumerate(stage):
         name = f"{prefix}_{j}"
         if isinstance(spec, ConvSpec):
-            m = prim.conv_nd(cfg["sdims"], spec.out_ch, 3, dtype=cfg["dtype"], name=name)
+            m = prim.conv_nd(
+                cfg["sdims"], spec.out_ch, 3, dtype=cfg["dtype"], name=name,
+                fold_batch=fb,
+            )
         elif isinstance(spec, ResSpec):
             m = cfg["res_cls"](
                 out_ch=spec.out_ch,
@@ -297,6 +347,7 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
                 down=spec.down,
                 dtype=cfg["dtype"],
                 fused=cfg.get("fused", False),
+                fold_batch=fb,
                 name=name,
             )
         elif isinstance(spec, AttnSpec):
@@ -304,12 +355,19 @@ def _build_stage(parent: fnn.Module, prefix: str, stage, cfg) -> list:
                 num_heads=spec.num_heads,
                 use_new_attention_order=cfg["use_new_attention_order"],
                 dtype=cfg["dtype"],
+                fold_batch=fb,
                 name=name,
             )
         elif isinstance(spec, DownSpec):
-            m = Downsample(spec.out_ch, spec.use_conv, dtype=cfg["dtype"], name=name)
+            m = Downsample(
+                spec.out_ch, spec.use_conv, dtype=cfg["dtype"],
+                fold_batch=fb, name=name,
+            )
         elif isinstance(spec, UpSpec):
-            m = Upsample(spec.out_ch, spec.use_conv, dtype=cfg["dtype"], name=name)
+            m = Upsample(
+                spec.out_ch, spec.use_conv, dtype=cfg["dtype"],
+                fold_batch=fb, name=name,
+            )
         else:
             raise TypeError(spec)
         mods.append((spec, m))
@@ -416,6 +474,18 @@ class UNetModel(fnn.Module):
         )
         plan = self.plan()
         cfg = self._cfg()
+        # network-wide B*D folding: every interior activation is 4-D
+        # [(B*D), H, W, C] (see _fold_enabled). Off under the (5-D-only)
+        # fused-Pallas path.
+        fold_batch = None
+        if (
+            self.dims == 3
+            and x.ndim == 5
+            and _fold_enabled()
+            and not cfg.get("fused", False)
+        ):
+            fold_batch = x.shape[0]
+        cfg["fold_batch"] = fold_batch
 
         emb = prim.timestep_embedding(timesteps, self.model_channels)
         emb = prim.dense(4 * self.model_channels, name="time_embed_0")(emb)
@@ -428,6 +498,8 @@ class UNetModel(fnn.Module):
             )(y)
 
         h = x.astype(self.dtype)
+        if fold_batch is not None:
+            h = prim.fold_bd(h)
         stats = None
         hs = []
         for i, stage in enumerate(plan.input_blocks):
@@ -451,11 +523,14 @@ class UNetModel(fnn.Module):
             h, stats = _apply_stage(mods, h, emb, train, stats)
 
         h = h.astype(x.dtype)
-        h = prim.GroupNorm32(name="head_norm")(h)
+        h = prim.GroupNorm32(name="head_norm")(h, fold_batch=fold_batch)
         h = prim.silu(h)
         h = prim.conv_nd(
-            self.dims, plan.out_channels, 3, zero_init=True, name="head_conv"
+            self.dims, plan.out_channels, 3, zero_init=True, name="head_conv",
+            fold_batch=fold_batch,
         )(h)
+        if fold_batch is not None:
+            h = prim.unfold_bd(h, fold_batch)
         return h
 
 

@@ -19,6 +19,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as fnn
 
 
@@ -54,6 +55,99 @@ def conv3d_decomposed(
         out = y if out is None else out + y
     Ho, Wo = out.shape[1], out.shape[2]
     return out.reshape(B, D_out, Ho, Wo, -1)
+
+
+def conv3d_folded(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    batch: int,
+    strides_hw: Tuple[int, int] = (1, 1),
+    padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
+    preferred_dtype=None,
+) -> jnp.ndarray:
+    """Depth-decomposed conv on a B*D-FOLDED activation [(B*D), H, W, C].
+
+    The network-wide folded layout keeps every activation 4-D end-to-end
+    (measured: 5-D activations make XLA's layout assignment flip between
+    (2,128) and (8,128) tilings for batch>1, inserting copies worth ~3x the
+    step time). Depth taps become shifted row-slices of the folded axis;
+    rows whose shift crosses a batch boundary are zeroed with a precomputed
+    0/1 mask (a no-op multiply for batch==1, where the mask is all-ones
+    except the chain ends which replicate SAME zero padding).
+    """
+    BD, H, W, C = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    assert BD % batch == 0, (BD, batch)
+    D = BD // batch
+    if padding_hw is None:
+        padding_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    pd = kd // 2
+
+    xp = jnp.pad(x, ((pd, pd), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for k in range(kd):
+        delta = k - pd
+        xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
+        if batch > 1 and delta != 0:
+            # zero rows whose depth neighbor belongs to another batch
+            d_idx = np.arange(BD) % D
+            valid = (d_idx + delta >= 0) & (d_idx + delta < D)
+            mask = jnp.asarray(valid, x.dtype).reshape(BD, 1, 1, 1)
+            xs = xs * mask
+        y = jax.lax.conv_general_dilated(
+            xs,
+            kernel[k],
+            window_strides=strides_hw,
+            padding=padding_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred_dtype,
+        )
+        out = y if out is None else out + y
+    return out
+
+
+class Conv3DFolded(fnn.Module):
+    """3-D conv over B*D-folded 4-D activations; params identical to
+    :class:`Conv3D` (kernel (kd,kh,kw,in,out) + bias), so checkpoints are
+    interchangeable across all three lowerings."""
+
+    features: int
+    batch: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Optional[Sequence[Tuple[int, int]]] = None
+    use_bias: bool = True
+    kernel_init: Any = fnn.initializers.lecun_normal()
+    bias_init: Any = fnn.initializers.zeros
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == 4, "Conv3DFolded expects [(B*D), H, W, C]"
+        kd, kh, kw = self.kernel_size
+        sd, sh, sw = self.strides
+        assert sd == 1, "depth stride must be 1 (anisotropic pyramid)"
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kd, kh, kw, C, self.features),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        pad = self.padding
+        y = conv3d_folded(
+            x.astype(dtype), kernel.astype(dtype), self.batch,
+            strides_hw=(sh, sw),
+            padding_hw=None if pad is None else tuple(pad)[1:],
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class Conv3D(fnn.Module):

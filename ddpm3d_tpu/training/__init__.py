@@ -15,3 +15,11 @@ from .train_loop import (
     make_optimizer,
     make_train_step,
 )
+from .distill import (
+    distill_losses,
+    distill_phase,
+    distill_schedules,
+    distill_targets,
+    halve_timesteps,
+    progressive_distill,
+)

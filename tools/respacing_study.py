@@ -50,6 +50,19 @@ def main():
                          "tools/respacing_debug.py")
     ap.add_argument("--load_ckpt", type=str, default="",
                     help="skip training; load EMA params from this file")
+    ap.add_argument("--predict_v", action="store_true",
+                    help="train with the v-parameterization (the "
+                         "fewer-step-robust target) instead of epsilon")
+    ap.add_argument("--distill_target", type=int, default=0,
+                    help=">0: after training, progressively distill the "
+                         "chain to this length and add distilled-DDIM rows")
+    ap.add_argument("--distill_start", type=int, default=512,
+                    help="teacher chain length for the first halving "
+                         "(power of two; the teacher samples this respaced "
+                         "chain of its original 1000 steps)")
+    ap.add_argument("--distill_steps_per_phase", type=int, default=1500)
+    ap.add_argument("--distill_lr", type=float, default=5e-5)
+    ap.add_argument("--out", type=str, default="RESPACING.json")
     args = ap.parse_args()
     per_step_ms = args.per_step_ms or 163.8
 
@@ -86,7 +99,8 @@ def main():
     betas = linear_beta_schedule(T)  # production schedule (gd.py:27-35)
     sched = make_schedule(betas)
     cfg = DiffusionConfig(
-        MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+        MeanType.VELOCITY if args.predict_v else MeanType.EPSILON,
+        VarType.LEARNED_RANGE, LossType.MSE,
         original_num_steps=T,
     )
 
@@ -153,8 +167,10 @@ def main():
         for i in range(len(evals))]
     ema = state.ema_params[0]
 
-    def sample(respace, sampler, low, x_T):
-        if respace == "1000":
+    def sample(respace, sampler, low, x_T, params_override=None, use_ts=None):
+        if use_ts is not None:
+            sp = make_spaced_schedule(betas, sorted(use_ts))
+        elif respace == "1000":
             sp = sched
         else:
             sec = f"ddim{respace[4:]}" if respace.startswith("ddim") else respace
@@ -174,7 +190,8 @@ def main():
             return p_sample_loop(key, model_fn, sp, cfg, noise=noise,
                                  model_kwargs={"low_res": low})
 
-        out = jax.jit(run)(ema, jax.random.key(7), low, jnp.asarray(x_T))
+        p = ema if params_override is None else params_override
+        out = jax.jit(run)(p, jax.random.key(7), low, jnp.asarray(x_T))
         return np.clip((np.asarray(out)[0, ..., 0] + 1.0) / 2.0, 0, 1)
 
     settings = []
@@ -191,11 +208,14 @@ def main():
         [psnr(c, n, data_range=1.0) for n, c in evals]))
     s_noisy = float(np.mean(
         [ssim(c, n, data_range=1.0) for n, c in evals]))
-    for name, respace, sampler in settings:
+
+    def eval_setting(name, respace, sampler, params_override=None,
+                     use_ts=None):
         t0 = time.time()
         pc, sc, pr, sr = [], [], [], []
         for i, (noisy, clean) in enumerate(evals):
-            out = sample(respace, sampler, lows[i], x_Ts[i])
+            out = sample(respace, sampler, lows[i], x_Ts[i],
+                         params_override=params_override, use_ts=use_ts)
             if ref_outs[i] is None:
                 ref_outs[i] = out  # ddpm1000 is the reference output
             pc.append(psnr(clean, out, data_range=1.0))
@@ -205,7 +225,10 @@ def main():
         dt = time.time() - t0
         import re as _re
 
-        steps = int(_re.search(r"(\d+)$", name).group(1))
+        steps = (
+            len(use_ts) if use_ts is not None
+            else int(_re.search(r"(\d+)$", name).group(1))
+        )
         # projection: 18 patches / 8 chips at the measured flagship step cost
         proj_s = steps * per_step_ms / 1000.0 * 18 / 8
         rows.append({
@@ -218,19 +241,72 @@ def main():
         })
         print(f"{name}: {rows[-1]}  ({dt:.1f}s wall)", flush=True)
 
+    for name, respace, sampler in settings:
+        eval_setting(name, respace, sampler)
+
+    if args.distill_target:
+        # progressive distillation (training/distill.py): halve the chain
+        # from --distill_start down to --distill_target, evaluating each
+        # student's DDIM chain with the SAME matched x_T protocol
+        from ddpm3d_tpu.training import progressive_distill
+
+        d_rng = np.random.default_rng(31337)
+        d_pairs = [make_pair(d_rng, shape) for _ in range(64)]
+
+        def d_data():
+            while True:
+                idx = d_rng.integers(0, len(d_pairs), size=args.batch)
+                noisy = np.stack([d_pairs[i][0] for i in idx])[..., None]
+                clean = np.stack([d_pairs[i][1] for i in idx])[..., None]
+                yield (jnp.asarray(scale(clean)),
+                       {"low_res": jnp.asarray(scale(noisy))})
+
+        start_ts = sorted(space_timesteps(T, f"ddim{args.distill_start}"))
+        eval_setting(f"teacher{args.distill_start}-ddim", None, "ddim",
+                     use_ts=start_ts)
+        ema_host = jax.device_get(ema)
+        t0 = time.time()
+        for d_params, use_ts in progressive_distill(
+            model.apply, ema_host, betas, cfg, d_data(),
+            target_steps=args.distill_target,
+            steps_per_phase=args.distill_steps_per_phase,
+            start_use_timesteps=start_ts,
+            lr=args.distill_lr,
+        ):
+            n = len(use_ts)
+            print(f"distilled to {n} steps ({time.time()-t0:.1f}s)",
+                  flush=True)
+            d_dev = jax.device_put(d_params, jax.devices()[0])
+            eval_setting(f"dist{n}-ddim", None, "ddim",
+                         params_override=d_dev, use_ts=use_ts)
+            t0 = time.time()
+
     result = {
         "protocol": {
             "model": (f"SuperResModel {args.model_channels}ch (1,2) noatt, "
                       "learn_sigma"),
             "train_steps": args.train_steps, "patch": S,
-            "diffusion": "1000-step linear, epsilon, LEARNED_RANGE",
+            "diffusion": (
+                "1000-step linear, "
+                + ("velocity" if args.predict_v else "epsilon")
+                + ", LEARNED_RANGE"
+            ),
             "matched_x_T": True, "flagship_per_step_ms": per_step_ms,
+            "distill": (
+                {
+                    "start": args.distill_start,
+                    "target": args.distill_target,
+                    "steps_per_phase": args.distill_steps_per_phase,
+                    "lr": args.distill_lr,
+                }
+                if args.distill_target else None
+            ),
         },
         "noisy_input": {"psnr_db": round(p_noisy, 2),
                         "ssim": round(s_noisy, 4)},
         "rows": rows,
     }
-    out_path = os.path.join(os.path.dirname(__file__), "..", "RESPACING.json")
+    out_path = os.path.join(os.path.dirname(__file__), "..", args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print("\n| setting | steps | PSNR vs clean | SSIM vs clean | "
