@@ -66,6 +66,8 @@ def main():
     betas = get_named_beta_schedule(
         args.noise_schedule, args.diffusion_steps
     )
+    # NOTE: use plain section counts (e.g. --start_respacing 512), not
+    # ddimN — ddimN requires an integer stride of the original chain
     start_ts = sorted(
         space_timesteps(
             args.diffusion_steps,

@@ -44,6 +44,24 @@ def main():
     model, sched, cfg = sr_create_model_and_diffusion(
         **args_to_dict(args, sr_model_and_diffusion_defaults().keys())
     )
+    if args.timesteps_file:
+        # explicit kept-timestep chain (scripts/distill.py writes
+        # distilled_{N}steps_ts.npy): a distilled student's chain is the
+        # odd positions of its teacher's, which --timestep_respacing's
+        # stride grammar cannot express
+        from ddpm3d_tpu.diffusion import (
+            get_named_beta_schedule, make_spaced_schedule,
+        )
+
+        use_ts = sorted(int(t) for t in np.load(args.timesteps_file))
+        betas = get_named_beta_schedule(
+            args.noise_schedule, args.diffusion_steps
+        )
+        sched = make_spaced_schedule(betas, use_ts)
+        logger.log(
+            f"using explicit {len(use_ts)}-step chain from "
+            f"{args.timesteps_file}"
+        )
 
     logger.log(f"loading checkpoint {args.model_path}...")
     # init on CPU to get the target tree (eager init on TPU would compile
@@ -179,6 +197,8 @@ def create_argparser():
         # backup-script variants (reference scripts/test_backup.py):
         blend="hann",          # hann | count (tb:118-167)
         normalize_div4=False,  # clip@4 then /4 input scaling (tb:266-267)
+        # explicit kept-timestep chain (.npy; from scripts/distill.py)
+        timesteps_file="",
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

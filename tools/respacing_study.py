@@ -261,7 +261,9 @@ def main():
                 yield (jnp.asarray(scale(clean)),
                        {"low_res": jnp.asarray(scale(noisy))})
 
-        start_ts = sorted(space_timesteps(T, f"ddim{args.distill_start}"))
+        # section-count spacing works for any N (ddimN needs an integer
+        # stride of T, which e.g. 512 is not)
+        start_ts = sorted(space_timesteps(T, str(args.distill_start)))
         eval_setting(f"teacher{args.distill_start}-ddim", None, "ddim",
                      use_ts=start_ts)
         ema_host = jax.device_get(ema)
