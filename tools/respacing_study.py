@@ -39,6 +39,18 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--model_channels", type=int, default=32,
                     help="base width — the capacity axis of the study")
+    ap.add_argument("--channel_mult", type=str, default="1,2",
+                    help="e.g. 1,1,2,3,4 for the production pyramid")
+    ap.add_argument("--num_res_blocks", type=int, default=1)
+    ap.add_argument("--use_checkpoint", action="store_true",
+                    help="remat ResBlocks (required to TRAIN at 96^3)")
+    ap.add_argument("--segment_steps", type=int, default=0,
+                    help=">0: run long ddpm/ddim eval chains in segments "
+                         "of this many steps (relay-watchdog environments)")
+    ap.add_argument("--settings", type=str, default="",
+                    help="comma list restricting eval rows, e.g. "
+                         "'ddpm1000,ddpm250,ddim50' (default: all)")
+    ap.add_argument("--n_eval", type=int, default=2)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--per_step_ms", type=float, default=None,
                     help="measured flagship 96^3 per-step ms for the "
@@ -90,10 +102,13 @@ def main():
     # attention, learn_sigma — the flagship topology at 1/4 width, 2 levels
     model = SuperResModel(
         in_channels=1, model_channels=args.model_channels, out_channels=2,
-        num_res_blocks=1,
-        attention_resolutions=(), channel_mult=(1, 2), dims=3,
+        num_res_blocks=args.num_res_blocks,
+        attention_resolutions=(),
+        channel_mult=tuple(int(m) for m in args.channel_mult.split(",")),
+        dims=3,
         use_scale_shift_norm=True, resblock_updown=True,
         middle_attention=False, dtype=jnp.bfloat16,
+        use_checkpoint=args.use_checkpoint,
     )
     T = 1000
     betas = linear_beta_schedule(T)  # production schedule (gd.py:27-35)
@@ -159,7 +174,7 @@ def main():
 
     # held-out volumes; ONE matched x_T per volume across every setting
     evals = [make_pair(np.random.default_rng(123 + i), shape)
-             for i in range(2)]
+             for i in range(args.n_eval)]
     lows = [jnp.asarray(scale(noisy))[None, ..., None]
             for noisy, _ in evals]
     x_Ts = [np.asarray(jax.random.normal(
@@ -191,7 +206,32 @@ def main():
                                  model_kwargs={"low_res": low})
 
         p = ema if params_override is None else params_override
-        out = jax.jit(run)(p, jax.random.key(7), low, jnp.asarray(x_T))
+        seg = args.segment_steps
+        if seg and sp.num_timesteps > seg and sampler in ("ddpm", "ddim"):
+            # segmented execution (bit-identical: per-step keys fold on t) —
+            # bounds single device programs under relay watchdogs
+            from ddpm3d_tpu.diffusion import sample_chain_segment
+
+            def run_seg(params, key, img, low, t_start, n):
+                model_fn = lambda x, t, **kw: model.apply(
+                    {"params": params}, x, t, **kw)
+                return sample_chain_segment(
+                    key, model_fn, sp, cfg, img, t_start, n,
+                    use_ddim=(sampler == "ddim"),
+                    model_kwargs={"low_res": low},
+                )
+
+            jseg = jax.jit(run_seg, static_argnums=(5,))
+            img = jnp.asarray(x_T)
+            t_cur = sp.num_timesteps
+            while t_cur > 0:
+                n = min(seg, t_cur)
+                img = jseg(p, jax.random.key(7), img, low,
+                           jnp.asarray(t_cur, jnp.int32), n)
+                t_cur -= n
+            out = img
+        else:
+            out = jax.jit(run)(p, jax.random.key(7), low, jnp.asarray(x_T))
         return np.clip((np.asarray(out)[0, ..., 0] + 1.0) / 2.0, 0, 1)
 
     settings = []
@@ -241,6 +281,9 @@ def main():
         })
         print(f"{name}: {rows[-1]}  ({dt:.1f}s wall)", flush=True)
 
+    if args.settings:
+        keep = set(args.settings.split(","))
+        settings = [s for s in settings if s[0] in keep]
     for name, respace, sampler in settings:
         eval_setting(name, respace, sampler)
 
