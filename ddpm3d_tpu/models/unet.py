@@ -53,6 +53,21 @@ def _fold_enabled() -> bool:
     return os.environ.get("DDPM3D_FOLD", "auto").lower() in ("auto", "1")
 
 
+def _remat_max_ds() -> int:
+    """With ``use_checkpoint``, only ResBlocks at downsample rate
+    <= this value rematerialize; deeper (smaller) blocks save their
+    activations. Default 2 covers the 96^2 and 48^2 levels whose
+    activations (226/57 MB each) cannot all be saved in 16 GB HBM;
+    the ds>=4 levels cost ~1.5 GB saved and ~46 ms/step recomputed.
+    DDPM3D_REMAT_DS=huge value restores uniform remat."""
+    import os
+
+    try:
+        return int(os.environ.get("DDPM3D_REMAT_DS", "2"))
+    except ValueError:
+        return 2
+
+
 def _fused_mode() -> str:
     """Fused ResBlock conv path (ops/conv3d_fused.py): DDPM3D_FUSED=1
     enables it on TPU (compiled Pallas); DDPM3D_FUSED=interpret runs the
@@ -455,6 +470,14 @@ class UNetModel(fnn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_new_attention_order=self.use_new_attention_order,
             res_cls=res_cls,
+            # resolution-aware remat (see __call__): blocks at downsample
+            # rate > DDPM3D_REMAT_DS keep their (small) activations and
+            # skip the backward recompute; only the high-res blocks whose
+            # activations are HBM-infeasible rematerialize. Measured at
+            # the flagship config: ds<=2 remat saves the ~46 ms/step of
+            # low-res forward recompute with ~1.5 GB extra activations.
+            res_cls_plain=ResBlock,
+            remat_max_ds=_remat_max_ds(),
             fused=_fused_mode() != "off" and not self.use_checkpoint,
             # the reference checkpoints attention unconditionally
             # (unet.py:297) — its O(T^2) weights dominate activation memory
@@ -502,13 +525,40 @@ class UNetModel(fnn.Module):
             h = prim.fold_bd(h)
         stats = None
         hs = []
+
+        remat_cls, plain_cls = cfg["res_cls"], cfg.get("res_cls_plain")
+        max_ds = cfg.get("remat_max_ds", 1 << 30)
+
+        def stage_cfg(ds):
+            # resolution-aware remat: swap in the plain ResBlock for deep
+            # (small-activation) stages; names are unchanged so params are
+            # identical either way
+            if plain_cls is None or not self.use_checkpoint:
+                return cfg
+            return {**cfg, "res_cls": remat_cls if ds <= max_ds else plain_cls}
+
+        def stage_downs(stage):
+            return any(
+                isinstance(s, DownSpec) or (isinstance(s, ResSpec) and s.down)
+                for s in stage
+            )
+
+        def stage_ups(stage):
+            return any(
+                isinstance(s, UpSpec) or (isinstance(s, ResSpec) and s.up)
+                for s in stage
+            )
+
+        ds = 1
         for i, stage in enumerate(plan.input_blocks):
-            mods = _build_stage(self, f"in{i}", stage, cfg)
+            mods = _build_stage(self, f"in{i}", stage, stage_cfg(ds))
             h, stats = _apply_stage(mods, h, emb, train, stats)
             hs.append((h, stats))
+            if stage_downs(stage):
+                ds *= 2
         h, stats = _apply_stage(
-            _build_stage(self, "mid", plan.middle_block, cfg), h, emb, train,
-            stats,
+            _build_stage(self, "mid", plan.middle_block, stage_cfg(ds)),
+            h, emb, train, stats,
         )
         for i, stage in enumerate(plan.output_blocks):
             h_skip, skip_stats = hs.pop()
@@ -519,8 +569,10 @@ class UNetModel(fnn.Module):
                 if stats is not None and skip_stats is not None
                 else None
             )
-            mods = _build_stage(self, f"out{i}", stage, cfg)
+            mods = _build_stage(self, f"out{i}", stage, stage_cfg(ds))
             h, stats = _apply_stage(mods, h, emb, train, stats)
+            if stage_ups(stage):
+                ds //= 2
 
         h = h.astype(x.dtype)
         h = prim.GroupNorm32(name="head_norm")(h, fold_batch=fold_batch)

@@ -126,3 +126,35 @@ def test_folded_gradients_match(rng, monkeypatch):
         ),
         g5, g4,
     )
+
+
+def test_resolution_aware_remat_equivalence(rng, monkeypatch):
+    """DDPM3D_REMAT_DS selects WHICH blocks rematerialize — outputs and
+    gradients must be identical for any threshold (remat is exact)."""
+    from ddpm3d_tpu.models import UNetModel
+
+    model = UNetModel(
+        in_channels=1, model_channels=32, out_channels=1, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2, 4), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True, use_checkpoint=True,
+    )
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 1)), jnp.float32)
+    t = jnp.array([3], jnp.int32)
+    params = model.init(jax.random.key(0), x, t)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x, t) ** 2)
+
+    outs = {}
+    for thresh in ("1", "1000000"):
+        monkeypatch.setenv("DDPM3D_REMAT_DS", thresh)
+        outs[thresh] = (model.apply(params, x, t), jax.grad(loss)(params))
+    np.testing.assert_array_equal(
+        np.asarray(outs["1"][0]), np.asarray(outs["1000000"][0])
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        outs["1"][1], outs["1000000"][1],
+    )
