@@ -76,5 +76,46 @@ def main():
         )
 
 
+def sweep_model_shapes():
+    """Per-shape table at the flagship model's actual conv shapes
+    (folded BD=96): decomposed-folded vs native 5-D, bf16.
+
+    Run: python tools/profile_conv.py sweep
+    Feeds the per-shape dispatch decision (ops/conv3d.py): the tails
+    (12^2/6^2) are where sub-85% MXU lives at the model level.
+    """
+    from ddpm3d_tpu.ops.conv3d import conv3d_folded
+
+    rng = np.random.default_rng(0)
+    D = 96
+    shapes = [
+        # (H, Cin, Cout) per pyramid level of the 128ch (1,1,2,3,4) model
+        (96, 128, 128), (96, 256, 128),
+        (48, 128, 128), (48, 256, 128),
+        (24, 256, 256), (24, 384, 256), (24, 512, 256),
+        (12, 384, 384), (12, 512, 384), (12, 768, 384),
+        (6, 512, 512), (6, 1024, 512),
+    ]
+    print("| H=W | Cin->Cout | decomposed-folded | native 5-D | winner |")
+    print("|---|---|---|---|---|")
+    for H, Ci, Co in shapes:
+        x4 = jnp.asarray(rng.normal(size=(D, H, H, Ci)), jnp.bfloat16)
+        x5 = x4.reshape(1, D, H, H, Ci)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.01, jnp.bfloat16)
+        flops = 2 * 27 * Ci * Co * D * H * H
+        t_fold = timeit(jax.jit(lambda a, b: conv3d_folded(a, b, 1)), x4, w)
+        t_nat = timeit(jax.jit(conv3d_native), x5, w)
+        win = "fold" if t_fold <= t_nat else "NATIVE"
+        print(
+            f"| {H} | {Ci}->{Co} | {t_fold*1000:.2f} ms "
+            f"({flops/t_fold/1e12:.0f} TF/s) | {t_nat*1000:.2f} ms "
+            f"({flops/t_nat/1e12:.0f} TF/s) | {win} |",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_model_shapes()
+    else:
+        main()
