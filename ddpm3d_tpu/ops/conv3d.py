@@ -57,6 +57,79 @@ def conv3d_decomposed(
     return out.reshape(B, D_out, Ho, Wo, -1)
 
 
+def _fold_impl_table() -> dict:
+    """Per-spatial-size lowering overrides from ``DDPM3D_FOLD_TAILS``.
+
+    Format: ``"6=im2col,12=native"`` — at H(=W)=6 use the all-tap im2col
+    GEMM, at 12 the unfold->native-5D path; unlisted sizes use the default
+    shifted-tap lowering. Read at trace time (once per compiled shape).
+    """
+    import os
+
+    table = {}
+    for part in os.environ.get("DDPM3D_FOLD_TAILS", "").split(","):
+        if "=" in part:
+            h, impl = part.split("=", 1)
+            table[int(h)] = impl.strip().lower()
+    return table
+
+
+def _folded_native(x, kernel, batch, strides_hw, padding_hw, preferred_dtype):
+    """Unfold [(B*D),H,W,C] -> [B,D,H,W,C], run the native 5-D conv, refold.
+
+    Candidate for pyramid tails where the folded-axis GEMM tiling is poor;
+    per-sample depth SAME padding makes the batch-boundary mask unneeded.
+    """
+    BD, H, W, C = x.shape
+    kd = kernel.shape[0]
+    pd = kd // 2
+    x5 = x.reshape(batch, BD // batch, H, W, C)
+    y = jax.lax.conv_general_dilated(
+        x5,
+        kernel,
+        window_strides=(1, *strides_hw),
+        padding=((pd, pd), *padding_hw),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=preferred_dtype,
+    )
+    return y.reshape(BD, y.shape[2], y.shape[3], -1)
+
+
+def _folded_im2col(x, kernel, batch, preferred_dtype):
+    """All kd*kh*kw taps concatenated on the channel axis, then ONE 1x1
+    GEMM with the (kd*kh*kw*Cin, Cout)-reshaped kernel.
+
+    For small spatial tails the per-tap conv2d GEMMs have tiny M/K tiles;
+    a single GEMM with K = kd*kh*kw*Cin amortizes the MXU pipeline at the
+    cost of a kd*kh*kw-times-larger activation read (only viable where the
+    activation is small). Stride-1 SAME only.
+    """
+    BD, H, W, C = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    D = BD // batch
+    pd, ph, pw = kd // 2, kh // 2, kw // 2
+    xp = jnp.pad(x, ((pd, pd), (ph, ph), (pw, pw), (0, 0)))
+    cols = []
+    for k in range(kd):
+        delta = k - pd
+        xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
+        if batch > 1 and delta != 0:
+            d_idx = np.arange(BD) % D
+            valid = (d_idx + delta >= 0) & (d_idx + delta < D)
+            xs = xs * jnp.asarray(valid, x.dtype).reshape(BD, 1, 1, 1)
+        for i in range(kh):
+            for j in range(kw):
+                cols.append(xs[:, i : i + H, j : j + W, :])
+    big = jnp.concatenate(cols, axis=-1)
+    y = jax.lax.dot_general(
+        big.reshape(BD * H * W, kd * kh * kw * C),
+        kernel.reshape(kd * kh * kw * C, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=preferred_dtype,
+    )
+    return y.reshape(BD, H, W, -1)
+
+
 def conv3d_folded(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -64,6 +137,7 @@ def conv3d_folded(
     strides_hw: Tuple[int, int] = (1, 1),
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
     preferred_dtype=None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Depth-decomposed conv on a B*D-FOLDED activation [(B*D), H, W, C].
 
@@ -74,14 +148,32 @@ def conv3d_folded(
     rows whose shift crosses a batch boundary are zeroed with a precomputed
     0/1 mask (a no-op multiply for batch==1, where the mask is all-ones
     except the chain ends which replicate SAME zero padding).
+
+    ``impl`` (or the ``DDPM3D_FOLD_TAILS`` per-size table) selects an
+    alternative lowering for this shape: ``"native"`` (unfold -> 5-D conv)
+    or ``"im2col"`` (single GEMM over all taps; stride-1 SAME only).
     """
     BD, H, W, C = x.shape
     kd, kh, kw = kernel.shape[:3]
     assert BD % batch == 0, (BD, batch)
     D = BD // batch
+    same_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     if padding_hw is None:
-        padding_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        padding_hw = same_hw
     pd = kd // 2
+
+    if impl is None:
+        impl = _fold_impl_table().get(H if H == W else -1, "taps")
+    if impl == "native":
+        return _folded_native(
+            x, kernel, batch, strides_hw, padding_hw, preferred_dtype
+        )
+    if (
+        impl == "im2col"
+        and strides_hw == (1, 1)
+        and tuple(padding_hw) == same_hw
+    ):
+        return _folded_im2col(x, kernel, batch, preferred_dtype)
 
     xp = jnp.pad(x, ((pd, pd), (0, 0), (0, 0), (0, 0)))
     out = None

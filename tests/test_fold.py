@@ -158,3 +158,41 @@ def test_resolution_aware_remat_equivalence(rng, monkeypatch):
         ),
         outs["1"][1], outs["1000000"][1],
     )
+
+
+@pytest.mark.parametrize("impl", ["native", "im2col"])
+@pytest.mark.parametrize("batch", [1, 3])
+def test_fold_tail_impls_match_taps(rng, impl, batch):
+    x = jnp.asarray(rng.normal(size=(batch * 5, 8, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)) * 0.1, jnp.float32)
+    ref = conv3d_folded(x, k, batch, impl="taps")
+    got = conv3d_folded(x, k, batch, impl=impl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_tail_impl_native_strided(rng):
+    x = jnp.asarray(rng.normal(size=(8, 8, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)) * 0.1, jnp.float32)
+    ref = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl="taps")
+    got = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl="native")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_tails_env_dispatch(rng, monkeypatch):
+    """DDPM3D_FOLD_TAILS selects impls per spatial size; outputs unchanged;
+    im2col silently falls back to taps for strided convs."""
+    monkeypatch.setenv("DDPM3D_FOLD_TAILS", "8=im2col,4=native")
+    x = jnp.asarray(rng.normal(size=(10, 8, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)) * 0.1, jnp.float32)
+    ref = conv3d_folded(x, k, 2, impl="taps")
+    np.testing.assert_allclose(
+        np.asarray(conv3d_folded(x, k, 2)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+    ref_s = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl="taps")
+    np.testing.assert_allclose(
+        np.asarray(conv3d_folded(x, k, 2, strides_hw=(2, 2))),
+        np.asarray(ref_s), rtol=1e-5, atol=1e-5,
+    )

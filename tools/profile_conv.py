@@ -96,20 +96,27 @@ def sweep_model_shapes():
         (12, 384, 384), (12, 512, 384), (12, 768, 384),
         (6, 512, 512), (6, 1024, 512),
     ]
-    print("| H=W | Cin->Cout | decomposed-folded | native 5-D | winner |")
-    print("|---|---|---|---|---|")
+    impls = ["taps", "native", "im2col"]
+    print("| H=W | Cin->Cout | " + " | ".join(impls) + " | winner |")
+    print("|---|" * (len(impls) + 3))
     for H, Ci, Co in shapes:
         x4 = jnp.asarray(rng.normal(size=(D, H, H, Ci)), jnp.bfloat16)
-        x5 = x4.reshape(1, D, H, H, Ci)
         w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.01, jnp.bfloat16)
         flops = 2 * 27 * Ci * Co * D * H * H
-        t_fold = timeit(jax.jit(lambda a, b: conv3d_folded(a, b, 1)), x4, w)
-        t_nat = timeit(jax.jit(conv3d_native), x5, w)
-        win = "fold" if t_fold <= t_nat else "NATIVE"
+        cells, best = [], (None, float("inf"))
+        for impl in impls:
+            if impl == "im2col" and 27 * 2 * D * H * H * Ci > 2**30:
+                cells.append("skip (mem)")
+                continue
+            t = timeit(
+                jax.jit(lambda a, b, i=impl: conv3d_folded(a, b, 1, impl=i)),
+                x4, w,
+            )
+            cells.append(f"{t*1000:.2f} ms ({flops/t/1e12:.0f} TF/s)")
+            if t < best[1]:
+                best = (impl, t)
         print(
-            f"| {H} | {Ci}->{Co} | {t_fold*1000:.2f} ms "
-            f"({flops/t_fold/1e12:.0f} TF/s) | {t_nat*1000:.2f} ms "
-            f"({flops/t_nat/1e12:.0f} TF/s) | {win} |",
+            f"| {H} | {Ci}->{Co} | " + " | ".join(cells) + f" | {best[0]} |",
             flush=True,
         )
 
