@@ -57,6 +57,37 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps
 
 
+def timeit_chain(conv, x, w, n_lo=8, n_hi=24):
+    """Per-call time via two-point slope of an n-iteration jitted chain.
+
+    The axon relay adds ~25-30 ms of dispatch/readback per isolated call,
+    swamping sub-ms tail convs; chaining n data-dependent calls in one
+    fori_loop and differencing two chain lengths cancels both the
+    per-dispatch constant and the input-perturbation pass."""
+
+    def chain(x, w, n):
+        def body(i, acc):
+            y = conv(x * (1.0 + acc * 1e-30 + i * 1e-6).astype(x.dtype), w)
+            # depend on EVERY output element: a single-element dependence
+            # lets XLA slice through the conv and compute one pixel
+            # (observed: "native" at 1100+ TF/s, i.e. physically impossible)
+            return acc + jnp.sum(y, dtype=jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    jc = jax.jit(chain)  # dynamic n: one compile serves both chain lengths
+    ts = {}
+    float(jc(x, w, jnp.int32(n_lo)))  # compile
+    for n in (n_lo, n_hi):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jc(x, w, jnp.int32(n)))
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    return max((ts[n_hi] - ts[n_lo]) / (n_hi - n_lo), 1e-9)
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     C = int(sys.argv[2]) if len(sys.argv) > 2 else 128
@@ -89,11 +120,12 @@ def sweep_model_shapes():
     rng = np.random.default_rng(0)
     D = 96
     shapes = [
-        # (H, Cin, Cout) per pyramid level of the 128ch (1,1,2,3,4) model
+        # (H, Cin, Cout) per pyramid level of the 128ch (1,1,2,3,4) model,
+        # incl. the decoder pair-pop concat widths (Ci = up_ch + skip_ch)
         (96, 128, 128), (96, 256, 128),
-        (48, 128, 128), (48, 256, 128),
-        (24, 256, 256), (24, 384, 256), (24, 512, 256),
-        (12, 384, 384), (12, 512, 384), (12, 768, 384),
+        (48, 128, 128), (48, 256, 128), (48, 384, 128),
+        (24, 256, 256), (24, 384, 256), (24, 512, 256), (24, 640, 256),
+        (12, 384, 384), (12, 512, 384), (12, 768, 384), (12, 896, 384),
         (6, 512, 512), (6, 1024, 512),
     ]
     impls = ["taps", "native", "im2col"]
@@ -105,12 +137,11 @@ def sweep_model_shapes():
         flops = 2 * 27 * Ci * Co * D * H * H
         cells, best = [], (None, float("inf"))
         for impl in impls:
-            if impl == "im2col" and 27 * 2 * D * H * H * Ci > 2**30:
+            if impl == "im2col" and 27 * 2 * D * H * H * Ci > 2 * 2**30:
                 cells.append("skip (mem)")
                 continue
-            t = timeit(
-                jax.jit(lambda a, b, i=impl: conv3d_folded(a, b, 1, impl=i)),
-                x4, w,
+            t = timeit_chain(
+                lambda a, b, i=impl: conv3d_folded(a, b, 1, impl=i), x4, w
             )
             cells.append(f"{t*1000:.2f} ms ({flops/t/1e12:.0f} TF/s)")
             if t < best[1]:
