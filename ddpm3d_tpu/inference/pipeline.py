@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -133,6 +134,15 @@ def denoise_patches(
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_data = mesh_shape.get(pmesh.DATA_AXIS, 1)
     n_spatial = mesh_shape.get(pmesh.SPATIAL_AXIS, 1)
+    # Pin the weights to the mesh ONCE (replicated). Checkpoint loading
+    # (utils/checkpoint.load_pytree) returns host numpy arrays; passing
+    # those into a jitted call re-uploads the full parameter set on EVERY
+    # dispatch — measured at ~50 s/chunk for the 128ch flagship (828 MB)
+    # through the TPU relay, dwarfing the ~3 s of device compute per
+    # 25-step chain. One explicit placement makes later dispatches reuse
+    # the on-device buffers.
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+    params = jax.device_put(params, _NS(mesh, _P()))
     P = low_patches.shape[0]
     per_device_batch = per_device_batch or 1
     chunk = n_data * per_device_batch
@@ -376,6 +386,7 @@ def denoise_volume(
     # Per-draw noise stays keyed by the global work-item id (sample_ids), so
     # results are identical to the sequential form on any device count.
     low_all = np.concatenate([low] * S) if S > 1 else low
+    t0 = time.monotonic()
     denoised_all = denoise_patches(
         jax.random.fold_in(key, 1000003), model_apply, params, sched, cfg,
         low_all,
@@ -384,9 +395,11 @@ def denoise_volume(
         mesh=mesh, per_device_batch=per_device_batch,
         noise=noise, noise_stream=noise_stream,
         progress_cb=lambda done, total: logger.log(
-            f"denoised {done}/{total} patch-draws"
+            f"denoised {done}/{total} patch-draws "
+            f"[{time.monotonic() - t0:.1f}s]"
         ),
     )
+    sample_wall_s = time.monotonic() - t0
     P = low.shape[0]
     draws = [blend_one(denoised_all[s * P:(s + 1) * P]) for s in range(S)]
     result = np.mean(draws, axis=0) if len(draws) > 1 else draws[0]
@@ -398,6 +411,7 @@ def denoise_volume(
     stats = {
         "original_std": original_std,
         "denoised_std": denoised_std,
+        "sample_wall_s": sample_wall_s,
         "noise_reduction_pct": (
             (original_std - denoised_std) / original_std * 100.0
             if original_std > 0
@@ -414,7 +428,8 @@ def denoise_volume(
     logger.log(
         f"Full image denoising: original std {original_std:.4f}, "
         f"denoised std {denoised_std:.4f}, "
-        f"noise reduction {stats['noise_reduction_pct']:.1f}%"
+        f"noise reduction {stats['noise_reduction_pct']:.1f}% "
+        f"(sampling {sample_wall_s:.1f}s wall)"
     )
     return result, stats
 
