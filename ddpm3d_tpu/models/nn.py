@@ -130,6 +130,190 @@ def fold_gn_affine(
     return g, b
 
 
+def _gn_vjp_mode() -> str:
+    """GN backward: 'auto' (default) is jax autodiff; 'custom' switches to
+    the hand-derived VJP below ('custom-nobar' drops its optimization
+    barrier). Measured verdict (v5e, flagship 96^3 train step): autodiff
+    WINS — 479.7 ms/step vs 486.1 for either custom variant. The autodiff
+    backward's scary-looking multi-output fusions are in fact near the
+    VPU/bandwidth floor, and XLA additionally fuses the elementwise
+    backward into conv fusions (the custom VJP forfeits ~26 ms of that,
+    fusion(elementwise) 26.5 -> 0.4 but conv 364 -> 394). Isolated-site
+    bench agrees: tools/gn_vjp_bench.py, auto 2.0 ms vs custom 2.7 ms for
+    a 96^3x128 film+silu site. Kept as correctness-tested infrastructure
+    (tests/test_gn_vjp.py) in case a future XLA regresses the fusion."""
+    import os
+
+    return os.environ.get("DDPM3D_GN_VJP", "auto").lower()
+
+
+def _gn_affine(mean_c, rstd_c, scale, bias, film_scale, film_shift):
+    """Per-(batch, channel) f32 affine (g, b) with y = xf*g + b equal to
+    FiLM(GroupNorm(x)) — shared by the autodiff and custom-VJP paths."""
+    g = scale.astype(jnp.float32)[None] * rstd_c
+    b = bias.astype(jnp.float32)[None] - mean_c * g
+    if film_scale is not None:
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        g = g * fs
+        b = b * fs
+    if film_shift is not None:
+        b = b + film_shift.astype(jnp.float32)
+    return g, b
+
+
+def _make_gn_custom(
+    num_groups, eps, apply_silu, fold_batch, has_fs, has_fh, barrier=True
+):
+    """Build the custom-VJP GroupNorm(+FiLM+SiLU) for one static config.
+
+    Residuals are the bf16 input plus the [B, C] stats — the backward
+    recomputes y elementwise instead of saving it. Backward structure:
+      pass 1 (reduction): P_c = sum(dy), Q_c = sum(dy * xf) per channel;
+      pass 2 (elementwise): d_x = dy*g + c1 + 2*xf*c2 with per-group
+      scalars c1/c2 derived from P, Q and the saved stats.
+    An optimization_barrier between the passes stops XLA re-merging them
+    into the pathological single fusion autodiff produces.
+    """
+
+    def stats(xf):
+        B = fold_batch if fold_batch is not None else xf.shape[0]
+        reps = xf.shape[0] // B
+        C = xf.shape[-1]
+        Cg = C // num_groups
+        spatial_axes = tuple(range(1, xf.ndim - 1))
+        n = math.prod(xf.shape[1:-1]) * Cg * reps
+        s1 = jnp.sum(xf, axis=spatial_axes).reshape(B, reps, C).sum(1)
+        s2 = jnp.sum(xf * xf, axis=spatial_axes).reshape(B, reps, C).sum(1)
+        gs1 = s1.reshape(B, num_groups, Cg).sum(-1)
+        gs2 = s2.reshape(B, num_groups, Cg).sum(-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+        mean_c = jnp.repeat(mean, Cg, axis=-1)
+        rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), Cg, axis=-1)
+        return mean_c, rstd_c, n
+
+    def apply_out(xf, g, b, reps):
+        gr = jnp.repeat(g, reps, axis=0) if reps > 1 else g
+        br = jnp.repeat(b, reps, axis=0) if reps > 1 else b
+        bshape = (gr.shape[0],) + (1,) * (xf.ndim - 2) + (xf.shape[-1],)
+        y = xf * gr.reshape(bshape) + br.reshape(bshape)
+        return y * jax.nn.sigmoid(y) if apply_silu else y
+
+    def fwd_only(x, scale, bias, film_scale, film_shift):
+        xf = x.astype(jnp.float32)
+        mean_c, rstd_c, _ = stats(xf)
+        g, b = _gn_affine(mean_c, rstd_c, scale, bias, film_scale, film_shift)
+        reps = xf.shape[0] // mean_c.shape[0]
+        return apply_out(xf, g, b, reps).astype(x.dtype)
+
+    def fwd(x, scale, bias, film_scale, film_shift):
+        xf = x.astype(jnp.float32)
+        mean_c, rstd_c, _ = stats(xf)
+        from jax.ad_checkpoint import checkpoint_name
+
+        mean_c = checkpoint_name(mean_c, "gn_stats")
+        rstd_c = checkpoint_name(rstd_c, "gn_stats")
+        g, b = _gn_affine(mean_c, rstd_c, scale, bias, film_scale, film_shift)
+        reps = xf.shape[0] // mean_c.shape[0]
+        out = apply_out(xf, g, b, reps).astype(x.dtype)
+        return out, (x, scale, bias, film_scale, film_shift, mean_c, rstd_c)
+
+    def bwd(res, do):
+        x, scale, bias, film_scale, film_shift, mean_c, rstd_c = res
+        B, C = mean_c.shape
+        reps = x.shape[0] // B
+        Cg = C // num_groups
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n = math.prod(x.shape[1:-1]) * Cg * reps
+
+        f = (
+            1.0 + film_scale.astype(jnp.float32)
+            if has_fs
+            else jnp.ones((B, C), jnp.float32)
+        )
+        A = scale.astype(jnp.float32)[None] * f          # [B, C]
+        gg = A * rstd_c                                  # [B, C]
+
+        def dy_of(xf, dof, gg_r, bb_r):
+            if not apply_silu:
+                return dof
+            bshape = (xf.shape[0],) + (1,) * (xf.ndim - 2) + (C,)
+            y = xf * gg_r.reshape(bshape) + bb_r.reshape(bshape)
+            sig = jax.nn.sigmoid(y)
+            return dof * (sig * (1.0 + y * (1.0 - sig)))
+
+        # bb only needed to recompute y for the SiLU derivative
+        if apply_silu:
+            bb = bias.astype(jnp.float32)[None] * f - mean_c * gg
+            if has_fh:
+                bb = bb + film_shift.astype(jnp.float32)
+        else:
+            bb = jnp.zeros((B, C), jnp.float32)
+        gg_r = jnp.repeat(gg, reps, axis=0) if reps > 1 else gg
+        bb_r = jnp.repeat(bb, reps, axis=0) if reps > 1 else bb
+
+        xf = x.astype(jnp.float32)
+        dof = do.astype(jnp.float32)
+        dy = dy_of(xf, dof, gg_r, bb_r)
+
+        # pass 1: the only two spatial reductions the math needs
+        P_r = jnp.sum(dy, axis=spatial_axes)             # [rows, C]
+        Q_r = jnp.sum(dy * xf, axis=spatial_axes)        # [rows, C]
+        P = P_r.reshape(B, reps, C).sum(1)
+        Q = Q_r.reshape(B, reps, C).sum(1)
+        if barrier:
+            P, Q = jax.lax.optimization_barrier((P, Q))
+
+        # per-group scalars
+        R_c = rstd_c * (Q - mean_c * P)                  # sum(dy * xhat)
+        SA = (A * P).reshape(B, num_groups, Cg).sum(-1)
+        SB = (A * Q).reshape(B, num_groups, Cg).sum(-1)
+        mean_g = mean_c[:, ::Cg]
+        rstd_g = rstd_c[:, ::Cg]
+        d_rstd = SB - mean_g * SA
+        d_var = -0.5 * rstd_g**3 * d_rstd
+        d_mean = -rstd_g * SA - 2.0 * mean_g * d_var
+        c1 = jnp.repeat(d_mean / n, Cg, axis=-1)         # [B, C]
+        c2 = jnp.repeat(d_var / n, Cg, axis=-1)
+        c1_r = jnp.repeat(c1, reps, axis=0) if reps > 1 else c1
+        c2_r = jnp.repeat(c2, reps, axis=0) if reps > 1 else c2
+
+        # pass 2: pure elementwise over (do, x)
+        bshape = (xf.shape[0],) + (1,) * (xf.ndim - 2) + (C,)
+        d_x = (
+            dy * gg_r.reshape(bshape)
+            + c1_r.reshape(bshape)
+            + 2.0 * xf * c2_r.reshape(bshape)
+        ).astype(x.dtype)
+
+        d_scale = jnp.sum(f * R_c, axis=0).astype(scale.dtype)
+        d_bias = jnp.sum(f * P, axis=0).astype(bias.dtype)
+        d_fs = (
+            (scale.astype(jnp.float32)[None] * R_c
+             + bias.astype(jnp.float32)[None] * P).astype(film_scale.dtype)
+            if has_fs
+            else None
+        )
+        d_fh = P.astype(film_shift.dtype) if has_fh else None
+        return d_x, d_scale, d_bias, d_fs, d_fh
+
+    gn = jax.custom_vjp(fwd_only)
+    gn.defvjp(fwd, bwd)
+    return gn
+
+
+_GN_CUSTOM_CACHE: dict = {}
+
+
+def _gn_custom(
+    num_groups, eps, apply_silu, fold_batch, has_fs, has_fh, barrier=True
+):
+    key = (num_groups, eps, apply_silu, fold_batch, has_fs, has_fh, barrier)
+    if key not in _GN_CUSTOM_CACHE:
+        _GN_CUSTOM_CACHE[key] = _make_gn_custom(*key)
+    return _GN_CUSTOM_CACHE[key]
+
+
 def fold_bd(x: jnp.ndarray) -> jnp.ndarray:
     """[B, D, H, W, C] -> [(B*D), H, W, C] (free reshape, row-major)."""
     B, D = x.shape[:2]
@@ -170,9 +354,19 @@ def group_norm_f32(
     back to the folded axis — numerically identical to the 5-D form.
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    C = xf.shape[-1]
+    C = x.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by {num_groups}"
+    if _gn_vjp_mode().startswith("custom") and (
+        fold_batch is not None or _gn_stats_mode() == "chanwise"
+    ):
+        # identical forward; hand-derived backward (see _make_gn_custom)
+        gn = _gn_custom(
+            num_groups, eps, apply_silu, fold_batch,
+            film_scale is not None, film_shift is not None,
+            barrier=_gn_vjp_mode() != "custom-nobar",
+        )
+        return gn(x, scale, bias, film_scale, film_shift)
+    xf = x.astype(jnp.float32)
     if fold_batch is not None:
         reps = xf.shape[0] // fold_batch
         spatial_axes = tuple(range(1, xf.ndim - 1))

@@ -51,6 +51,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ddpm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # init a param skeleton, then load the teacher checkpoint into it
     levels = len(model.channel_mult)
     hw = max(16, 2 ** (levels - 1))

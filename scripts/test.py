@@ -34,6 +34,10 @@ def main():
 
     import jax
 
+    from ddpm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ddpm3d_tpu.inference import (
         denoise_volume,
         load_volume_for_denoising,

@@ -43,6 +43,10 @@ def main():
     logger.log("creating data loader...")
     import jax
 
+    from ddpm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     data = prefetch(
         load_data(
             data_dir=args.data_dir,
