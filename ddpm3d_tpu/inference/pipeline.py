@@ -84,6 +84,33 @@ def load_volume_for_denoising(
     return vol
 
 
+_TRANSIENT_MARKERS = ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED")
+
+
+def _retry_transient(fn, attempts: int = 4, base_sleep: float = 20.0):
+    """Run ``fn`` with retries on transient device/runtime faults.
+
+    Inference chunks are pure functions of (params, patch ids): per-step
+    noise is derived from the global sample id (diffusion/sampling.py:
+    _step_noise), so re-running a failed chunk reproduces the exact same
+    output. Only error strings carrying a transient status marker are
+    retried; determinism bugs and OOMs re-raise immediately. Backoff is
+    linear (20/40/60 s — observed relay faults can wedge for minutes)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
+            if i == attempts - 1 or not transient:
+                raise
+            wait = base_sleep * (i + 1)
+            logger.log(
+                f"transient device error, retrying chunk in {wait:.0f}s "
+                f"(attempt {i + 1}/{attempts}): {str(e).splitlines()[0]}"
+            )
+            time.sleep(wait)
+
+
 def denoise_patches(
     key: jax.Array,
     model_apply,
@@ -290,21 +317,28 @@ def denoise_patches(
                 if noise_stream is not None
                 else None
             )
-        img = init_noise(key, low_chunk, noise_chunk, ids)
-        if stream is not None:
-            img = jitted_stream(params, img, low_chunk, stream)
-        elif use_dpm_solver:
-            img = jitted_dpm(params, img, low_chunk)
-        else:
-            t_cur = T
-            while t_cur > 0:
-                n_steps = min(seg, t_cur)
-                img = jitted_segment(
-                    params, key, img, low_chunk, ids,
-                    jnp.asarray(t_cur, jnp.int32), n_steps,
-                )
-                t_cur -= n_steps
-        outs.append(np.asarray(jax.device_get(img))[..., 0])
+        def run_chunk(low_chunk=low_chunk, noise_chunk=noise_chunk,
+                      ids=ids, stream=stream):
+            img = init_noise(key, low_chunk, noise_chunk, ids)
+            if stream is not None:
+                img = jitted_stream(params, img, low_chunk, stream)
+            elif use_dpm_solver:
+                img = jitted_dpm(params, img, low_chunk)
+            else:
+                t_cur = T
+                while t_cur > 0:
+                    n_steps = min(seg, t_cur)
+                    img = jitted_segment(
+                        params, key, img, low_chunk, ids,
+                        jnp.asarray(t_cur, jnp.int32), n_steps,
+                    )
+                    t_cur -= n_steps
+            return np.asarray(jax.device_get(img))
+
+        # noise is keyed by global patch id, so a retried chunk is
+        # bit-identical — safe to restart from x_T on transient device
+        # errors (observed: one-off INTERNAL relay faults mid-volume)
+        outs.append(_retry_transient(run_chunk)[..., 0])
         if progress_cb is not None:
             progress_cb(min(start + chunk, P), P)
     return np.concatenate(outs)[:P]

@@ -135,3 +135,29 @@ def test_denoise_volume_dpm_solver(rng):
     )
     assert result.shape == (40, 40, 20)
     assert np.isfinite(result).all()
+
+
+def test_retry_transient_reruns_on_internal_error():
+    """_retry_transient: transient INTERNAL faults are retried (chunks are
+    deterministic, so a rerun is bit-identical); other errors re-raise."""
+    import jax
+    from ddpm3d_tpu.inference.pipeline import _retry_transient
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("INTERNAL: TPU backend error")
+        return 42
+
+    assert _retry_transient(flaky, attempts=3, base_sleep=0.0) == 42
+    assert calls["n"] == 2
+
+    def fatal():
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    import pytest
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        _retry_transient(fatal, attempts=3, base_sleep=0.0)
