@@ -488,6 +488,7 @@ def conv_nd(
     dtype=None,
     name: Optional[str] = None,
     fold_batch: Optional[int] = None,
+    upsample: bool = False,
 ) -> fnn.Conv:
     """N-D convolution (channels-last). ``zero_init`` gives the reference's
     zero_module behavior for output heads (nn.py:68-74).
@@ -524,7 +525,9 @@ def conv_nd(
             dtype=dtype,
             param_dtype=jnp.float32,
             name=name,
+            upsample=upsample,
         )
+    assert not upsample, "upsample-conv fusion is folded-layout only"
     if (
         dims == 3
         and max(kernel_size) > 1

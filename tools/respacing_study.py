@@ -56,12 +56,19 @@ def main():
                     help="measured flagship 96^3 per-step ms for the "
                          "projection column (default: BENCH result 163.8)")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help=">0: also save the EMA checkpoint every N train "
+                         "steps (crash insurance for multi-hour runs)")
     ap.add_argument("--save_ckpt", type=str,
                     default="/tmp/respacing_ckpt.msgpack",
                     help="save the trained EMA params here for reuse by "
                          "tools/respacing_debug.py")
     ap.add_argument("--load_ckpt", type=str, default="",
                     help="skip training; load EMA params from this file")
+    ap.add_argument("--continue_train", action="store_true",
+                    help="with --load_ckpt: warm-start BOTH params and EMA "
+                         "from the checkpoint and train --train_steps MORE "
+                         "steps (fresh optimizer state)")
     ap.add_argument("--predict_v", action="store_true",
                     help="train with the v-parameterization (the "
                          "fewer-step-robust target) instead of epsilon")
@@ -147,10 +154,20 @@ def main():
         ema_loaded = ckpt_io.load_pytree(
             args.load_ckpt, target=state.ema_params[0]
         )
-        state = state._replace(ema_params=(jax.device_put(
-            ema_loaded, jax.devices()[0]),))
+        if args.continue_train:
+            # warm start: EMA becomes both the live params and the EMA seed
+            state = state._replace(
+                params=jax.device_put(
+                    jax.tree_util.tree_map(jnp.copy, ema_loaded),
+                    jax.devices()[0],
+                ),
+                ema_params=(jax.device_put(ema_loaded, jax.devices()[0]),),
+            )
+        else:
+            state = state._replace(ema_params=(jax.device_put(
+                ema_loaded, jax.devices()[0]),))
         print(f"loaded EMA params from {args.load_ckpt}", flush=True)
-    else:
+    if not args.load_ckpt or args.continue_train:
         train_pairs = [make_pair(rng, shape) for _ in range(64)]
         t0 = time.time()
         for step in range(args.train_steps):
@@ -165,6 +182,12 @@ def main():
                 print(f"step {step}: loss "
                       f"{float(np.asarray(metrics['loss']).mean()):.4f}",
                       flush=True)
+            if (args.save_every and args.save_ckpt and step
+                    and step % args.save_every == 0):
+                ckpt_io.save_pytree(
+                    args.save_ckpt, jax.device_get(state.ema_params[0])
+                )
+                print(f"checkpointed EMA at step {step}", flush=True)
         print(f"train: {time.time()-t0:.1f}s", flush=True)
         if args.save_ckpt:
             ckpt_io.save_pytree(
