@@ -190,6 +190,12 @@ def main():
         "projected_full_volume_s_on_8chip": round(
             18 * 96 ** 3 / max(rate, 1e-9) / 8, 1
         ) if on_tpu else None,
+        # the production config (--timestep_respacing 25, v-pred checkpoint;
+        # quality within 0.3 dB of the full chain, RESPACING_PROD_VPRED.json;
+        # 76 s/volume MEASURED end-to-end single-chip incl. blending/IO)
+        "projected_volume_s_25step_8chip": round(
+            18 * 25 * best_per_step / 8, 1
+        ) if on_tpu else None,
     }
     print(json.dumps(result))
 
