@@ -45,3 +45,34 @@ def test_volume_report_keys(rng):
     rep = volume_report(x, x + 0.01)
     assert set(rep) == {"psnr_db", "ssim", "mae", "rmse"}
     np.testing.assert_allclose(rep["mae"], 0.01, rtol=1e-6)
+
+
+def test_ssim_matches_bruteforce_oracle(rng):
+    """Independent oracle: per-window Wang et al. SSIM computed with literal
+    python window loops (same reflect-padding convention) — removes the
+    optional-skimage dependency from the cross-check."""
+    x = rng.uniform(0, 1, size=(12, 12))
+    y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1)
+    win, dr, k1, k2 = 7, 1.0, 0.01, 0.03
+    c1, c2 = (k1 * dr) ** 2, (k2 * dr) ** 2
+    lo = win // 2
+    hi = win - 1 - lo
+    xp = np.pad(x, ((lo, hi), (lo, hi)), mode="reflect")
+    yp = np.pad(y, ((lo, hi), (lo, hi)), mode="reflect")
+    n = win * win
+    vals = []
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            wx = xp[i:i + win, j:j + win].ravel()
+            wy = yp[i:i + win, j:j + win].ravel()
+            mx, my = wx.mean(), wy.mean()
+            vx = ((wx - mx) ** 2).sum() / (n - 1)
+            vy = ((wy - my) ** 2).sum() / (n - 1)
+            cxy = ((wx - mx) * (wy - my)).sum() / (n - 1)
+            vals.append(
+                (2 * mx * my + c1) * (2 * cxy + c2)
+                / ((mx * mx + my * my + c1) * (vx + vy + c2))
+            )
+    np.testing.assert_allclose(
+        ssim(x, y, data_range=dr, win_size=win), np.mean(vals), rtol=1e-9
+    )
