@@ -376,8 +376,11 @@ def denoise_patches(
 
         # noise is keyed by global patch id, so a retried chunk is
         # bit-identical — safe to restart from x_T on transient device
-        # errors (observed: one-off INTERNAL relay faults mid-volume)
-        if not pipelined:
+        # errors (observed: one-off INTERNAL relay faults mid-volume).
+        # The external-noise-stream (parity) path stays synchronous:
+        # depth-2 would keep TWO chunks' stream buffers alive (~28 GB
+        # each at production scale) — the ADVICE-flagged HBM hazard.
+        if not pipelined or stream is not None:
             _finish((None, run_sync))
             continue
         try:
@@ -416,6 +419,7 @@ def denoise_volume(
     num_samples: int = 1,
     noise: Optional[np.ndarray] = None,
     noise_stream: Optional[np.ndarray] = None,
+    segment_steps: Optional[int] = 100,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Denoise a whole (Z, H, W) volume; returns ((H, W, Z) result, stats).
 
@@ -478,6 +482,7 @@ def denoise_volume(
         dpm_order=dpm_order, clip_denoised=clip_denoised,
         mesh=mesh, per_device_batch=per_device_batch,
         noise=noise, noise_stream=noise_stream,
+        segment_steps=segment_steps,
         progress_cb=lambda done, total: logger.log(
             f"denoised {done}/{total} patch-draws "
             f"[{time.monotonic() - t0:.1f}s]"

@@ -158,6 +158,7 @@ def main():
         blend=args.blend,
         normalize_div4=args.normalize_div4,
         num_samples=args.num_samples,
+        segment_steps=args.segment_steps,
     )
 
     save_outputs(logger.get_dir(), args.base_samples, result)
@@ -191,6 +192,9 @@ def create_argparser():
         # (diffusion/dpm_solver.py); pair with --timestep_respacing ddimN
         use_dpm_solver=False,
         dpm_order=2,
+        # long chains run as N-step device calls (bit-identical to one
+        # scan); relay/watchdog environments want ~25
+        segment_steps=100,
         timestep_respacing="",
         base_samples="",
         model_path="",
