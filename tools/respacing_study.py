@@ -282,9 +282,9 @@ def main():
     settings = []
     for n in (1000, 250, 100, 50, 25):
         settings.append((f"ddpm{n}", str(n) if n < 1000 else "1000", "ddpm"))
-    for n in (250, 100, 50, 25):
+    for n in (250, 100, 50, 25, 10):
         settings.append((f"ddim{n}", f"ddim{n}", "ddim"))
-    for n in (50, 25):
+    for n in (50, 25, 10):
         settings.append((f"dpm2m{n}", f"ddim{n}", "dpm2m"))
 
     ref_outs = [None] * len(evals)
