@@ -9,3 +9,9 @@ verdict" for the numbers.
 """
 
 from .groupnorm import fused_group_norm_silu, reference_group_norm_silu
+from .quant import (
+    conv3d_folded_int8,
+    int8_enabled,
+    quantize_act,
+    quantize_kernel,
+)

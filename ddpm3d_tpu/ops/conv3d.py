@@ -238,14 +238,41 @@ class Conv3DFolded(fnn.Module):
             else None
         )
         pad = self.padding
-        if self.upsample:
-            from .phase_up import upsample_conv_folded
+        use_int8 = False
+        from .quant import int8_enabled, int8_excluded
 
+        if int8_enabled():
+            try:
+                path = "/".join(str(p) for p in self.path)
+            except Exception:  # unbound / interactive use
+                path = self.name or ""
+            use_int8 = not int8_excluded(path)
+        if self.upsample:
             assert (kh, kw) == (3, 3) and (sh, sw) == (1, 1), (
                 "phase upsample-conv requires 3x3 HW stride 1"
             )
-            y = upsample_conv_folded(
-                x.astype(dtype), kernel.astype(dtype), self.batch
+            if use_int8:
+                from .quant import upsample_conv_folded_int8
+
+                y = upsample_conv_folded_int8(
+                    x.astype(dtype), kernel, self.batch
+                )
+            else:
+                from .phase_up import upsample_conv_folded
+
+                y = upsample_conv_folded(
+                    x.astype(dtype), kernel.astype(dtype), self.batch
+                )
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        if use_int8:
+            from .quant import conv3d_folded_int8
+
+            y = conv3d_folded_int8(
+                x.astype(dtype), kernel, self.batch,
+                strides_hw=(sh, sw),
+                padding_hw=None if pad is None else tuple(pad)[1:],
             )
             if bias is not None:
                 y = y + bias.astype(y.dtype)

@@ -1,0 +1,182 @@
+"""int8 MXU inference path for the folded 3-D convolutions.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 FLOP rate (394 vs
+197 T/s), and the sampling step is ~85% conv time — so a weight+activation
+int8 ("W8A8") conv path is the one remaining lever that can push the step
+*below* the bf16 speed-of-light. This module implements it for the
+B*D-folded lowering (ops/conv3d.py:conv3d_folded):
+
+- weights: symmetric per-output-channel scales, quantized at trace time
+  from the loaded parameter (a scan-invariant — XLA hoists the one-time
+  quantization out of the sampler's step loop);
+- activations: symmetric per-tensor DYNAMIC scale (abs-max each call) —
+  diffusion activations swing with timestep t, so static calibration is
+  not safe across the chain;
+- accumulation: int32 on the MXU; depth taps accumulate in int32 and
+  dequantize ONCE (they share the activation scale);
+- dequantize: y = y_i32 * (s_x * s_w[c]), fused by XLA into the bias add.
+
+Worst-case accumulator magnitude 127*127*(kh*kw*Cin) = 1.5e8 for
+Cin=1024 < 2^31: no overflow at any shape in the zoo.
+
+Inference-only and env-gated (``DDPM3D_INT8=1``); training always runs
+the bf16/f32 path. Replaces (faster than) the reference's fp16 inference
+torso (/root/reference/guided_diffusion/unet.py:646 convert_to_fp16).
+Quality at production shape is measured by tools/respacing_study.py
+--int8 against the bf16 chain (see README; int8 is opt-in, not default).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def int8_enabled() -> bool:
+    """Trace-time gate: DDPM3D_INT8=1 turns on the W8A8 conv path."""
+    return os.environ.get("DDPM3D_INT8", "0") == "1"
+
+
+def int8_excluded(path: str) -> bool:
+    """True if a module path matches DDPM3D_INT8_EXCLUDE (comma-separated
+    substrings; e.g. ``"conv_in,out_2"`` keeps the I/O convs in bf16)."""
+    pats = [p for p in os.environ.get("DDPM3D_INT8_EXCLUDE", "").split(",") if p]
+    return any(p in path for p in pats)
+
+
+def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor int8 quantization with a dynamic abs-max scale.
+
+    Returns ``(q, scale)`` with ``q`` int8 and ``x ~= q * scale``. The
+    scale is an f32 scalar; an all-zero tensor maps to scale=1 (q=0).
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-OUTPUT-channel int8 weight quantization.
+
+    ``kernel`` is (..., Cin, Cout); returns ``(q, s_w)`` with ``s_w`` of
+    shape (Cout,) f32 and ``kernel ~= q * s_w`` broadcast over Cout.
+    """
+    k32 = kernel.astype(jnp.float32)
+    axes = tuple(range(k32.ndim - 1))
+    amax = jnp.max(jnp.abs(k32), axis=axes)
+    s_w = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(k32 / s_w), -127, 127)
+    return q.astype(jnp.int8), s_w
+
+
+def conv3d_folded_int8(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    batch: int,
+    strides_hw: Tuple[int, int] = (1, 1),
+    padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
+) -> jnp.ndarray:
+    """W8A8 variant of ops/conv3d.py:conv3d_folded (shifted-tap lowering).
+
+    Same math up to quantization: depth taps are shifted row slices of the
+    folded [(B*D),H,W,C] activation, batch-crossing rows zeroed by a 0/1
+    mask (exact in int8 — symmetric quantization has no zero point), each
+    tap an NHWC int8 conv2d accumulating int32, summed in int32, then one
+    dequantize by ``s_x * s_w[c]``. Output dtype follows ``x``.
+    """
+    BD, H, W, C = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    assert BD % batch == 0, (BD, batch)
+    D = BD // batch
+    if padding_hw is None:
+        padding_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    pd = kd // 2
+
+    xq, s_x = quantize_act(x)
+    kq, s_w = quantize_kernel(kernel)
+
+    xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for k in range(kd):
+        delta = k - pd
+        xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
+        if batch > 1 and delta != 0:
+            d_idx = np.arange(BD) % D
+            valid = (d_idx + delta >= 0) & (d_idx + delta < D)
+            mask = jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
+            xs = xs * mask
+        y = jax.lax.conv_general_dilated(
+            xs,
+            kq[k],
+            window_strides=strides_hw,
+            padding=tuple(padding_hw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = y if out is None else out + y
+    scale = (s_x * s_w).astype(jnp.float32)  # (Cout,), broadcast below
+    return (out.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def upsample_conv_folded_int8(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    batch: int,
+) -> jnp.ndarray:
+    """W8A8 variant of ops/phase_up.py:upsample_conv_folded.
+
+    The four 2x2 phase kernels are derived (tap sums in f32) and THEN
+    quantized, each with its own per-channel scales — the sums, not the
+    raw taps, are what multiply activations. All phases share the one
+    activation scale, so phase outputs interleave after dequantization
+    without seam artifacts.
+    """
+    from .phase_up import phase_up_kernels
+
+    BD, H, W, C = x.shape
+    kd = kernel.shape[0]
+    assert BD % batch == 0, (BD, batch)
+    D = BD // batch
+    pd = kd // 2
+    phases = phase_up_kernels(kernel.astype(jnp.float32))
+
+    xq, s_x = quantize_act(x)
+    xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
+    pad_for = {0: (1, 0), 1: (0, 1)}
+
+    ys = {}
+    for (a, b), k_ab in phases.items():
+        kq, s_w = quantize_kernel(k_ab)
+        acc = None
+        for k in range(kd):
+            delta = k - pd
+            xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
+            if batch > 1 and delta != 0:
+                d_idx = np.arange(BD) % D
+                valid = (d_idx + delta >= 0) & (d_idx + delta < D)
+                xs = xs * jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
+            y = jax.lax.conv_general_dilated(
+                xs,
+                kq[k],
+                window_strides=(1, 1),
+                padding=(pad_for[a], pad_for[b]),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            acc = y if acc is None else acc + y
+        ys[(a, b)] = (acc.astype(jnp.float32) * (s_x * s_w)).astype(x.dtype)
+
+    Cout = kernel.shape[-1]
+    rows = jnp.stack(
+        [
+            jnp.stack([ys[(0, 0)], ys[(0, 1)]], axis=3),
+            jnp.stack([ys[(1, 0)], ys[(1, 1)]], axis=3),
+        ],
+        axis=2,
+    )
+    return rows.reshape(BD, 2 * H, 2 * W, Cout)

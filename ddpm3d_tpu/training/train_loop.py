@@ -102,6 +102,14 @@ def make_train_step(
     the step, otherwise lg grows by ``fp16_scale_growth`` per step. bf16
     training does not need this (the default path); the switch exists for
     float16-torso models, matching the reference capability."""
+    from ..ops.quant import int8_enabled
+
+    if int8_enabled():
+        raise RuntimeError(
+            "DDPM3D_INT8=1 is inference-only: the int8 conv path rounds "
+            "activations (zero gradient) and would silently break training. "
+            "Unset it for train jobs."
+        )
     use_lsm = schedule_sampler == "loss-second-moment"
 
     def loss_for(params, key, x, mkwargs, t, weights, loss_scale):

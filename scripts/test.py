@@ -29,6 +29,9 @@ from ddpm3d_tpu.utils.config import (
 def main():
     args = create_argparser().parse_args()
 
+    if args.int8:
+        # must be set before any conv traces (trace-time gate)
+        os.environ["DDPM3D_INT8"] = "1"
     maybe_initialize_distributed()
     logger.configure(args.save_dir or None)
 
@@ -207,6 +210,9 @@ def create_argparser():
         normalize_div4=False,  # clip@4 then /4 input scaling (tb:266-267)
         # explicit kept-timestep chain (.npy; from scripts/distill.py)
         timesteps_file="",
+        # beyond-reference: W8A8 int8 conv torso on the MXU (ops/quant.py);
+        # 2x the bf16 FLOP rate, quality measured in RESPACING_*INT8.json
+        int8=False,
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

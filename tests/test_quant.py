@@ -1,0 +1,223 @@
+"""int8 (W8A8) conv path: exactness on the quantization grid, error bounds
+off-grid, masking/stride/upsample variants, module gating, train guard.
+
+The strongest check: when activations and weights already sit exactly on
+their int8 grids, the int8 path's integer arithmetic reproduces the f32
+folded conv to float-rounding precision — quantize/dequantize round-trips
+and the int32 accumulation are then EXACT.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm3d_tpu.ops.conv3d import Conv3DFolded, conv3d_folded
+from ddpm3d_tpu.ops.phase_up import upsample_conv_folded
+from ddpm3d_tpu.ops.quant import (
+    conv3d_folded_int8,
+    quantize_act,
+    quantize_kernel,
+    upsample_conv_folded_int8,
+)
+
+
+def _grid_act(key, shape, scale=0.0371):
+    """Random activation already exactly on an int8 grid with abs-max 127."""
+    q = jax.random.randint(key, shape, -126, 127).astype(jnp.float32)
+    # force the abs-max so the dynamic scale reproduces `scale` exactly
+    q = q.at[(0,) * len(shape)].set(127.0)
+    return q * scale
+
+
+def _grid_kernel(key, shape, scale=0.0113):
+    """Random kernel on a per-channel int8 grid (same scale every channel,
+    abs-max pinned to 127 per output channel)."""
+    q = jax.random.randint(key, shape, -126, 127).astype(jnp.float32)
+    q = q.at[(0,) * (len(shape) - 1)].set(127.0)
+    return q * scale
+
+
+class TestQuantPrimitives:
+    def test_act_roundtrip_bound(self):
+        x = jax.random.normal(jax.random.key(0), (4, 8, 8, 16), jnp.float32)
+        q, s = quantize_act(x)
+        err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - x))
+        assert err <= s / 2 + 1e-7
+        assert q.dtype == jnp.int8
+
+    def test_act_zero_tensor(self):
+        q, s = quantize_act(jnp.zeros((3, 3), jnp.float32))
+        assert float(s) == 1.0 and int(jnp.max(jnp.abs(q))) == 0
+
+    def test_kernel_per_channel(self):
+        k = jax.random.normal(jax.random.key(1), (3, 3, 3, 8, 16), jnp.float32)
+        # make channel 3 much larger: its scale must absorb it alone
+        k = k.at[..., 3].mul(100.0)
+        q, s_w = quantize_kernel(k)
+        assert s_w.shape == (16,)
+        deq = q.astype(jnp.float32) * s_w
+        err = jnp.abs(deq - k)
+        assert float(jnp.max(err[..., 3])) <= float(s_w[3]) / 2 + 1e-6
+        # the big channel must not degrade the others
+        assert float(jnp.max(err[..., :3])) <= float(jnp.max(s_w[:3])) / 2 + 1e-6
+
+
+class TestConvInt8:
+    @pytest.mark.parametrize("batch", [1, 2])
+    def test_grid_exact(self, batch):
+        """On-grid inputs: int8 path == f32 folded conv (exact int32 math)."""
+        kx, kk = jax.random.split(jax.random.key(2))
+        D, H, W, C, Co = 6, 8, 8, 8, 16
+        x = _grid_act(kx, (batch * D, H, W, C))
+        k = _grid_kernel(kk, (3, 3, 3, C, Co))
+        ref = conv3d_folded(x, k, batch)
+        out = conv3d_folded_int8(x, k, batch)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_grid_exact_strided(self):
+        kx, kk = jax.random.split(jax.random.key(3))
+        x = _grid_act(kx, (2 * 6, 8, 8, 8))
+        k = _grid_kernel(kk, (3, 3, 3, 8, 8))
+        ref = conv3d_folded(x, k, 2, strides_hw=(2, 2))
+        out = conv3d_folded_int8(x, k, 2, strides_hw=(2, 2))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_grid_exact_1x1(self):
+        kx, kk = jax.random.split(jax.random.key(4))
+        x = _grid_act(kx, (6, 8, 8, 8))
+        k = _grid_kernel(kk, (1, 1, 1, 8, 16))
+        ref = conv3d_folded(x, k, 1)
+        out = conv3d_folded_int8(x, k, 1)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_offgrid_error_bound(self):
+        """Random (off-grid) data: quantization noise stays ~sub-percent in
+        the Frobenius norm (127 levels -> ~0.45% rms per operand)."""
+        kx, kk = jax.random.split(jax.random.key(5))
+        x = jax.random.normal(kx, (6, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 32, 32), jnp.float32) * 0.1
+        ref = conv3d_folded(x, k, 1)
+        out = conv3d_folded_int8(x, k, 1)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 2e-2, rel
+
+    def test_upsample_phase_int8(self):
+        """Center-row/col kernel keeps phase-kernel sums on-grid -> exact;
+        a full kernel gets the error-bound check."""
+        kx, kk = jax.random.split(jax.random.key(6))
+        x = _grid_act(kx, (6, 8, 8, 8))
+        k_full = jax.random.normal(kk, (3, 3, 3, 8, 8), jnp.float32) * 0.1
+        ref = upsample_conv_folded(x, k_full, 1)
+        out = upsample_conv_folded_int8(x, k_full, 1)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 2e-2, rel
+        # exact variant: only the (1,1) HW tap nonzero -> every phase kernel
+        # is {0, w_center}, so per-channel scales carry over unchanged
+        k_ctr = jnp.zeros_like(k_full)
+        k_ctr = k_ctr.at[:, 1, 1].set(_grid_kernel(kk, (3, 8, 8)))
+        ref = upsample_conv_folded(x, k_ctr, 1)
+        out = upsample_conv_folded_int8(x, k_ctr, 1)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+class TestModuleGate:
+    def _mk(self, **kw):
+        m = Conv3DFolded(features=8, batch=1, **kw)
+        x = jax.random.normal(jax.random.key(7), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(8), x)
+        return m, params, x
+
+    def test_env_off_is_fp(self, monkeypatch):
+        monkeypatch.delenv("DDPM3D_INT8", raising=False)
+        m, params, x = self._mk()
+        y0 = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8", "0")
+        np.testing.assert_array_equal(m.apply(params, x), y0)
+
+    def test_env_on_quantizes(self, monkeypatch):
+        m, params, x = self._mk()
+        y_fp = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_q = m.apply(params, x)
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        assert 0 < rel < 2e-2, rel
+
+    def test_exclude_list(self, monkeypatch):
+        from flax import linen as fnn
+
+        class Wrap(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return Conv3DFolded(features=8, batch=1, name="skipme")(x)
+
+        m = Wrap()
+        x = jax.random.normal(jax.random.key(7), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(8), x)
+        y_fp = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        monkeypatch.setenv("DDPM3D_INT8_EXCLUDE", "skipme,foo")
+        np.testing.assert_array_equal(m.apply(params, x), y_fp)
+        # and without the exclusion the same module DOES quantize
+        monkeypatch.setenv("DDPM3D_INT8_EXCLUDE", "")
+        assert float(jnp.linalg.norm(m.apply(params, x) - y_fp)) > 0
+
+    def test_upsample_module_int8(self, monkeypatch):
+        m, params, x = self._mk(upsample=True)
+        y_fp = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_q = m.apply(params, x)
+        assert y_q.shape == y_fp.shape
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        assert 0 < rel < 3e-2, rel
+
+
+class TestTrainGuard:
+    def test_train_step_refuses_int8(self, monkeypatch):
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        from ddpm3d_tpu.diffusion import DiffusionConfig, linear_beta_schedule
+        from ddpm3d_tpu.training.train_loop import make_train_step
+        import optax
+
+        with pytest.raises(RuntimeError, match="inference-only"):
+            make_train_step(
+                lambda *a, **k: None,
+                linear_beta_schedule(10),
+                DiffusionConfig(),
+                optax.sgd(1e-3),
+                (0.999,),
+            )
+
+
+class TestModelForwardInt8:
+    def test_superres_forward_finite_and_close(self, monkeypatch):
+        """Whole folded SuperResModel under DDPM3D_INT8=1: runs, is finite,
+        and stays near the fp path. The zero-init out conv makes the raw
+        init output 0, so every 5-D kernel is nudged off zero first."""
+        from ddpm3d_tpu.models import SuperResModel
+
+        model = SuperResModel(
+            in_channels=1, model_channels=32, out_channels=2,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            dims=3, use_scale_shift_norm=True, resblock_updown=True,
+            middle_attention=False,
+        )
+        x = jax.random.normal(jax.random.key(9), (1, 4, 16, 16, 1))
+        low = jax.random.normal(jax.random.key(10), (1, 4, 16, 16, 1))
+        t = jnp.array([5])
+        params = model.init(jax.random.key(11), x, t, low_res=low)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.01 if p.ndim == 5 else p, params
+        )
+        monkeypatch.delenv("DDPM3D_INT8", raising=False)
+        y_fp = model.apply(params, x, t, low_res=low)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_q = model.apply(params, x, t, low_res=low)
+        assert bool(jnp.all(jnp.isfinite(y_q)))
+        assert y_q.shape == y_fp.shape
+        rel = float(
+            jnp.linalg.norm(y_q - y_fp) / (1e-8 + jnp.linalg.norm(y_fp))
+        )
+        assert 0 < rel < 0.1, rel

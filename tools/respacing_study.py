@@ -81,9 +81,18 @@ def main():
                          "chain of its original 1000 steps)")
     ap.add_argument("--distill_steps_per_phase", type=int, default=1500)
     ap.add_argument("--distill_lr", type=float, default=5e-5)
+    ap.add_argument("--int8", action="store_true",
+                    help="evaluate every row with the W8A8 int8 conv torso "
+                         "(ops/quant.py). Eval-only: requires --load_ckpt "
+                         "without --continue_train")
     ap.add_argument("--out", type=str, default="RESPACING.json")
     args = ap.parse_args()
     per_step_ms = args.per_step_ms or 163.8
+    if args.int8:
+        assert args.load_ckpt and not args.continue_train, (
+            "--int8 is inference-only (training would hit the int8 guard)"
+        )
+        os.environ["DDPM3D_INT8"] = "1"
 
     import jax
     if args.platform:
