@@ -9,9 +9,10 @@ B*D-folded lowering (ops/conv3d.py:conv3d_folded):
 - weights: symmetric per-output-channel scales, quantized at trace time
   from the loaded parameter (a scan-invariant — XLA hoists the one-time
   quantization out of the sampler's step loop);
-- activations: symmetric per-tensor DYNAMIC scale (abs-max each call) —
+- activations: symmetric PER-SAMPLE dynamic scales (abs-max each call) —
   diffusion activations swing with timestep t, so static calibration is
-  not safe across the chain;
+  not safe across the chain; per-sample (not per-tensor) keeps sharded
+  patches independent (see quantize_act);
 - accumulation: int32 on the MXU; depth taps accumulate in int32 and
   dequantize ONCE (they share the activation scale);
 - dequantize: y = y_i32 * (s_x * s_w[c]), fused by XLA into the bias add.
@@ -48,15 +49,34 @@ def int8_excluded(path: str) -> bool:
     return any(p in path for p in pats)
 
 
-def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-tensor int8 quantization with a dynamic abs-max scale.
+def quantize_act(
+    x: jnp.ndarray, batch: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric PER-SAMPLE int8 quantization with dynamic abs-max scales.
 
-    Returns ``(q, scale)`` with ``q`` int8 and ``x ~= q * scale``. The
-    scale is an f32 scalar; an all-zero tensor maps to scale=1 (q=0).
+    ``x`` is a folded [(B*D), H, W, C] activation with ``batch`` samples of
+    D consecutive rows each; each sample gets its own scale. At batch 1
+    this is plain per-tensor quantization; at batch > 1 it keeps every
+    sample's quantization independent — under the sharded inference mesh a
+    global abs-max would couple patches across chips (one collective per
+    conv AND a topology-dependent scale, breaking the pipeline's
+    single-device/sharded bit-identity property, tests/test_parallel.py).
+
+    Returns ``(q, scale)``: ``q`` int8 like ``x``; ``scale`` f32 broadcast
+    against ``x`` (shape (B*D,1,1,1) — rows of one sample share their
+    scale). An all-zero sample maps to scale=1 (q=0).
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    BD = x.shape[0]
+    assert BD % max(batch, 1) == 0, (BD, batch)
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(
+        jnp.abs(x32.reshape(batch, -1)), axis=1
+    )  # (B,)
+    scale_b = jnp.where(amax > 0, amax / 127.0, 1.0)
+    scale = jnp.repeat(scale_b, BD // max(batch, 1)).reshape(
+        BD, *([1] * (x.ndim - 1))
+    )
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127)
     return q.astype(jnp.int8), scale
 
 
@@ -97,7 +117,7 @@ def conv3d_folded_int8(
         padding_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     pd = kd // 2
 
-    xq, s_x = quantize_act(x)
+    xq, s_x = quantize_act(x, batch)
     kq, s_w = quantize_kernel(kernel)
 
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
@@ -119,7 +139,8 @@ def conv3d_folded_int8(
             preferred_element_type=jnp.int32,
         )
         out = y if out is None else out + y
-    scale = (s_x * s_w).astype(jnp.float32)  # (Cout,), broadcast below
+    # (BD,1,1,1) x (Cout,) -> broadcast over rows and channels
+    scale = (s_x * s_w).astype(jnp.float32)
     return (out.astype(jnp.float32) * scale).astype(x.dtype)
 
 
@@ -145,7 +166,7 @@ def upsample_conv_folded_int8(
     pd = kd // 2
     phases = phase_up_kernels(kernel.astype(jnp.float32))
 
-    xq, s_x = quantize_act(x)
+    xq, s_x = quantize_act(x, batch)
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
     pad_for = {0: (1, 0), 1: (0, 1)}
 

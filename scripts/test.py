@@ -32,6 +32,13 @@ def main():
     if args.int8:
         # must be set before any conv traces (trace-time gate)
         os.environ["DDPM3D_INT8"] = "1"
+    if args.platform:
+        # JAX_PLATFORMS env cannot override the environment's preset
+        # platform (sitecustomize pre-imports jax); the config API wins.
+        # CPU smokes of this CLI must not touch a busy TPU.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     maybe_initialize_distributed()
     logger.configure(args.save_dir or None)
 
@@ -213,6 +220,8 @@ def create_argparser():
         # beyond-reference: W8A8 int8 conv torso on the MXU (ops/quant.py);
         # 2x the bf16 FLOP rate, quality measured in RESPACING_*INT8.json
         int8=False,
+        # force a jax platform (e.g. "cpu" for smokes); default: environment
+        platform="",
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -24,11 +24,13 @@ from ddpm3d_tpu.ops.quant import (
 )
 
 
-def _grid_act(key, shape, scale=0.0371):
-    """Random activation already exactly on an int8 grid with abs-max 127."""
+def _grid_act(key, shape, scale=0.0371, batch=1):
+    """Random activation already exactly on an int8 grid with abs-max 127
+    pinned in EVERY sample (scales are per-sample, ops/quant.py)."""
     q = jax.random.randint(key, shape, -126, 127).astype(jnp.float32)
-    # force the abs-max so the dynamic scale reproduces `scale` exactly
-    q = q.at[(0,) * len(shape)].set(127.0)
+    D = shape[0] // batch
+    for s in range(batch):
+        q = q.at[(s * D,) + (0,) * (len(shape) - 1)].set(127.0)
     return q * scale
 
 
@@ -44,13 +46,14 @@ class TestQuantPrimitives:
     def test_act_roundtrip_bound(self):
         x = jax.random.normal(jax.random.key(0), (4, 8, 8, 16), jnp.float32)
         q, s = quantize_act(x)
-        err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - x))
-        assert err <= s / 2 + 1e-7
+        err = jnp.abs(q.astype(jnp.float32) * s - x)
+        assert bool(jnp.all(err <= s / 2 + 1e-7))
         assert q.dtype == jnp.int8
 
     def test_act_zero_tensor(self):
         q, s = quantize_act(jnp.zeros((3, 3), jnp.float32))
-        assert float(s) == 1.0 and int(jnp.max(jnp.abs(q))) == 0
+        assert float(s.ravel()[0]) == 1.0
+        assert int(jnp.max(jnp.abs(q))) == 0
 
     def test_kernel_per_channel(self):
         k = jax.random.normal(jax.random.key(1), (3, 3, 3, 8, 16), jnp.float32)
@@ -65,13 +68,44 @@ class TestQuantPrimitives:
         assert float(jnp.max(err[..., :3])) <= float(jnp.max(s_w[:3])) / 2 + 1e-6
 
 
+class TestPerSampleScales:
+    def test_quantize_independence(self):
+        """Each sample's quantization must not depend on its batch peers
+        (sharded-pipeline topology invariance)."""
+        ka, kb = jax.random.split(jax.random.key(12))
+        a = jax.random.normal(ka, (5, 8, 8, 4), jnp.float32)
+        b = 100.0 * jax.random.normal(kb, (5, 8, 8, 4), jnp.float32)
+        qx, sx = quantize_act(jnp.concatenate([a, b]), batch=2)
+        qa, sa = quantize_act(a, 1)
+        qb, sb = quantize_act(b, 1)
+        np.testing.assert_array_equal(qx[:5], qa)
+        np.testing.assert_array_equal(qx[5:], qb)
+        np.testing.assert_allclose(sx[0], sa[0], rtol=1e-7)
+        np.testing.assert_allclose(sx[5], sb[0], rtol=1e-7)
+
+    def test_conv_batch_equals_per_sample(self):
+        """int8 conv of a batch == the per-sample int8 convs stacked, even
+        with wildly different per-sample magnitudes."""
+        kx, kk = jax.random.split(jax.random.key(13))
+        D, C = 5, 8
+        a = jax.random.normal(kx, (D, 8, 8, C), jnp.float32)
+        b = 50.0 * jax.random.normal(jax.random.fold_in(kx, 1),
+                                     (D, 8, 8, C), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, C, C), jnp.float32) * 0.1
+        y = conv3d_folded_int8(jnp.concatenate([a, b]), k, 2)
+        ya = conv3d_folded_int8(a, k, 1)
+        yb = conv3d_folded_int8(b, k, 1)
+        np.testing.assert_allclose(y[:D], ya, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(y[D:], yb, rtol=1e-5, atol=1e-4)
+
+
 class TestConvInt8:
     @pytest.mark.parametrize("batch", [1, 2])
     def test_grid_exact(self, batch):
         """On-grid inputs: int8 path == f32 folded conv (exact int32 math)."""
         kx, kk = jax.random.split(jax.random.key(2))
         D, H, W, C, Co = 6, 8, 8, 8, 16
-        x = _grid_act(kx, (batch * D, H, W, C))
+        x = _grid_act(kx, (batch * D, H, W, C), batch=batch)
         k = _grid_kernel(kk, (3, 3, 3, C, Co))
         ref = conv3d_folded(x, k, batch)
         out = conv3d_folded_int8(x, k, batch)
@@ -79,7 +113,7 @@ class TestConvInt8:
 
     def test_grid_exact_strided(self):
         kx, kk = jax.random.split(jax.random.key(3))
-        x = _grid_act(kx, (2 * 6, 8, 8, 8))
+        x = _grid_act(kx, (2 * 6, 8, 8, 8), batch=2)
         k = _grid_kernel(kk, (3, 3, 3, 8, 8))
         ref = conv3d_folded(x, k, 2, strides_hw=(2, 2))
         out = conv3d_folded_int8(x, k, 2, strides_hw=(2, 2))
