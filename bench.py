@@ -196,6 +196,11 @@ def main():
         "projected_volume_s_25step_8chip": round(
             18 * 25 * best_per_step / 8, 1
         ) if on_tpu else None,
+        # self-identify opt-in precision modes so int8 runs are never
+        # mistaken for the bf16 default in round-over-round comparisons
+        "precision": (
+            "int8" if os.environ.get("DDPM3D_INT8") == "1" else "bf16"
+        ),
     }
     print(json.dumps(result))
 

@@ -149,10 +149,8 @@ def main():
     )
     state = jax.device_put(state, jax.devices()[0])
     ema_rate = min(0.999, 1.0 - 5.0 / args.train_steps)
-    step_fn = jax.jit(
-        make_train_step(model.apply, sched, cfg, opt, (ema_rate,)),
-        donate_argnums=(0,),
-    )
+    # (the train step itself is built inside the training branch below —
+    # eval-only runs must not construct one, e.g. under --int8)
 
     def scale(v):
         return v * 2.0 - 1.0
