@@ -255,3 +255,48 @@ class TestModelForwardInt8:
             jnp.linalg.norm(y_q - y_fp) / (1e-8 + jnp.linalg.norm(y_fp))
         )
         assert 0 < rel < 0.1, rel
+
+
+class TestInt8Sharded:
+    def test_topology_invariance_int8(self, monkeypatch):
+        """Per-sample scales make the sharded int8 pipeline bit-compatible
+        with a single-device run (the design requirement that ruled out
+        per-tensor scales)."""
+        from ddpm3d_tpu.diffusion import (
+            DiffusionConfig, LossType, MeanType, VarType, make_schedule,
+        )
+        from ddpm3d_tpu.inference import denoise_patches
+        from ddpm3d_tpu.models import SuperResModel
+        from ddpm3d_tpu.parallel import make_mesh
+
+        model = SuperResModel(
+            in_channels=1, model_channels=32, out_channels=2,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            dims=3, use_scale_shift_norm=True, resblock_updown=True,
+            middle_attention=False,
+        )
+        sched = make_schedule(np.linspace(1e-4, 0.02, 4))
+        cfg = DiffusionConfig(
+            MeanType.EPSILON, VarType.LEARNED_RANGE, LossType.MSE,
+            original_num_steps=4,
+        )
+        P, Z, X, Y = 5, 4, 16, 16
+        low = np.random.default_rng(0).normal(
+            size=(P, Z, X, Y)
+        ).astype(np.float32)
+        x0 = jnp.zeros((1, Z, X, Y, 1))
+        params = model.init(
+            jax.random.key(0), x0, jnp.zeros((1,), jnp.int32), low_res=x0
+        )["params"]
+
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        out8 = denoise_patches(
+            jax.random.key(1), model.apply, params, sched, cfg, low,
+            mesh=make_mesh(),
+        )
+        out1 = denoise_patches(
+            jax.random.key(1), model.apply, params, sched, cfg, low,
+            mesh=make_mesh(n_data=1),
+        )
+        assert np.isfinite(out8).all()
+        np.testing.assert_allclose(out1, out8, rtol=1e-5, atol=1e-6)
