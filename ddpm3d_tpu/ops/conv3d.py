@@ -238,24 +238,26 @@ class Conv3DFolded(fnn.Module):
             else None
         )
         pad = self.padding
-        use_int8 = False
-        from .quant import int8_enabled, int8_excluded
+        qmode = "off"
+        from .quant import int8_excluded, int8_mode
 
-        if int8_enabled():
+        if int8_mode() != "off":
             try:
                 path = "/".join(str(p) for p in self.path)
             except Exception:  # unbound / interactive use
                 path = self.name or ""
-            use_int8 = not int8_excluded(path)
+            if not int8_excluded(path):
+                qmode = int8_mode()
         if self.upsample:
             assert (kh, kw) == (3, 3) and (sh, sw) == (1, 1), (
                 "phase upsample-conv requires 3x3 HW stride 1"
             )
-            if use_int8:
+            if qmode != "off":
                 from .quant import upsample_conv_folded_int8
 
                 y = upsample_conv_folded_int8(
-                    x.astype(dtype), kernel, self.batch
+                    x.astype(dtype), kernel, self.batch,
+                    sim=(qmode == "sim"),
                 )
             else:
                 from .phase_up import upsample_conv_folded
@@ -266,10 +268,11 @@ class Conv3DFolded(fnn.Module):
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
-        if use_int8:
-            from .quant import conv3d_folded_int8
+        if qmode != "off":
+            from .quant import conv3d_folded_int8, conv3d_folded_sim
 
-            y = conv3d_folded_int8(
+            qconv = conv3d_folded_sim if qmode == "sim" else conv3d_folded_int8
+            y = qconv(
                 x.astype(dtype), kernel, self.batch,
                 strides_hw=(sh, sw),
                 padding_hw=None if pad is None else tuple(pad)[1:],

@@ -37,9 +37,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def int8_mode() -> str:
+    """Trace-time gate: ``off`` (default), ``int8`` (DDPM3D_INT8=1 — true
+    W8A8 integer convs on the MXU), or ``sim`` (DDPM3D_INT8=sim —
+    fake-quantization: quantize+dequantize both operands, convolve in f32).
+
+    ``sim`` computes the SAME values as ``int8`` up to float rounding —
+    dequantization is linear, so conv(q_x*s_x, q_w*s_w) ==
+    s_x*s_w*conv(q_x, q_w) — but uses the fast fp conv kernels; XLA:CPU's
+    integer conv is a ~70x-slower generic path, which makes chain-level
+    quality studies infeasible in true int8 off-TPU (measured; see
+    tests/test_quant.py::TestSimMode for the equivalence pin)."""
+    v = os.environ.get("DDPM3D_INT8", "0")
+    if v == "1":
+        return "int8"
+    if v == "sim":
+        return "sim"
+    return "off"
+
+
 def int8_enabled() -> bool:
-    """Trace-time gate: DDPM3D_INT8=1 turns on the W8A8 conv path."""
-    return os.environ.get("DDPM3D_INT8", "0") == "1"
+    """True when any quantized conv mode (int8 or sim) is active."""
+    return int8_mode() != "off"
 
 
 def int8_excluded(path: str) -> bool:
@@ -92,6 +111,31 @@ def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     s_w = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(k32 / s_w), -127, 127)
     return q.astype(jnp.int8), s_w
+
+
+def conv3d_folded_sim(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    batch: int,
+    strides_hw: Tuple[int, int] = (1, 1),
+    padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
+) -> jnp.ndarray:
+    """Fake-quant twin of :func:`conv3d_folded_int8`: both operands are
+    quantized and DEQUANTIZED, then convolved with the fast fp kernels in
+    f32. By linearity of dequantization this equals the int8 path up to
+    f32 rounding (pinned by TestSimMode); the per-tap sum commutes with
+    the shared activation scale."""
+    from .conv3d import conv3d_folded
+
+    xq, s_x = quantize_act(x, batch)
+    kq, s_w = quantize_kernel(kernel)
+    xd = xq.astype(jnp.float32) * s_x
+    kd = kq.astype(jnp.float32) * s_w
+    y = conv3d_folded(
+        xd, kd, batch, strides_hw=strides_hw, padding_hw=padding_hw,
+        preferred_dtype=jnp.float32,
+    )
+    return y.astype(x.dtype)
 
 
 def conv3d_folded_int8(
@@ -148,6 +192,7 @@ def upsample_conv_folded_int8(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     batch: int,
+    sim: bool = False,
 ) -> jnp.ndarray:
     """W8A8 variant of ops/phase_up.py:upsample_conv_folded.
 
@@ -156,6 +201,10 @@ def upsample_conv_folded_int8(
     raw taps, are what multiply activations. All phases share the one
     activation scale, so phase outputs interleave after dequantization
     without seam artifacts.
+
+    ``sim=True`` runs the fake-quant twin: identical quantization
+    decisions (per-phase kernel scales included), fp convs on the
+    dequantized operands — equal up to f32 rounding.
     """
     from .phase_up import phase_up_kernels
 
@@ -167,12 +216,15 @@ def upsample_conv_folded_int8(
     phases = phase_up_kernels(kernel.astype(jnp.float32))
 
     xq, s_x = quantize_act(x, batch)
+    if sim:
+        xq = xq.astype(jnp.float32) * s_x
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
     pad_for = {0: (1, 0), 1: (0, 1)}
 
     ys = {}
     for (a, b), k_ab in phases.items():
         kq, s_w = quantize_kernel(k_ab)
+        kk = kq.astype(jnp.float32) * s_w if sim else kq
         acc = None
         for k in range(kd):
             delta = k - pd
@@ -180,17 +232,24 @@ def upsample_conv_folded_int8(
             if batch > 1 and delta != 0:
                 d_idx = np.arange(BD) % D
                 valid = (d_idx + delta >= 0) & (d_idx + delta < D)
-                xs = xs * jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
+                xs = xs * jnp.asarray(valid, xs.dtype).reshape(BD, 1, 1, 1)
             y = jax.lax.conv_general_dilated(
                 xs,
-                kq[k],
+                kk[k],
                 window_strides=(1, 1),
                 padding=(pad_for[a], pad_for[b]),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
+                preferred_element_type=(
+                    jnp.float32 if sim else jnp.int32
+                ),
             )
             acc = y if acc is None else acc + y
-        ys[(a, b)] = (acc.astype(jnp.float32) * (s_x * s_w)).astype(x.dtype)
+        if sim:
+            ys[(a, b)] = acc.astype(x.dtype)
+        else:
+            ys[(a, b)] = (
+                acc.astype(jnp.float32) * (s_x * s_w)
+            ).astype(x.dtype)
 
     Cout = kernel.shape[-1]
     rows = jnp.stack(

@@ -300,3 +300,44 @@ class TestInt8Sharded:
         )
         assert np.isfinite(out8).all()
         np.testing.assert_allclose(out1, out8, rtol=1e-5, atol=1e-6)
+
+
+class TestSimMode:
+    def test_sim_equals_int8_conv(self):
+        """Fake-quant twin equals the true int8 path to f32 rounding."""
+        from ddpm3d_tpu.ops.quant import conv3d_folded_sim
+
+        kx, kk = jax.random.split(jax.random.key(20))
+        x = jax.random.normal(kx, (2 * 5, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 8, 16), jnp.float32) * 0.1
+        y_int8 = conv3d_folded_int8(x, k, 2)
+        y_sim = conv3d_folded_sim(x, k, 2)
+        np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
+
+    def test_sim_equals_int8_strided(self):
+        from ddpm3d_tpu.ops.quant import conv3d_folded_sim
+
+        kx, kk = jax.random.split(jax.random.key(21))
+        x = jax.random.normal(kx, (2 * 4, 8, 8, 4), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 4, 8), jnp.float32) * 0.1
+        y_int8 = conv3d_folded_int8(x, k, 2, strides_hw=(2, 2))
+        y_sim = conv3d_folded_sim(x, k, 2, strides_hw=(2, 2))
+        np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
+
+    def test_sim_equals_int8_upsample(self):
+        kx, kk = jax.random.split(jax.random.key(22))
+        x = jax.random.normal(kx, (4, 8, 8, 4), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 4, 4), jnp.float32) * 0.1
+        y_int8 = upsample_conv_folded_int8(x, k, 1)
+        y_sim = upsample_conv_folded_int8(x, k, 1, sim=True)
+        np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
+
+    def test_sim_module_gate(self, monkeypatch):
+        m = Conv3DFolded(features=8, batch=1)
+        x = jax.random.normal(jax.random.key(23), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(24), x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_int8 = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8", "sim")
+        y_sim = m.apply(params, x)
+        np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)

@@ -85,14 +85,20 @@ def main():
                     help="evaluate every row with the W8A8 int8 conv torso "
                          "(ops/quant.py). Eval-only: requires --load_ckpt "
                          "without --continue_train")
+    ap.add_argument("--int8_sim", action="store_true",
+                    help="like --int8 but via the fake-quant twin (fp "
+                         "convs on quantized-dequantized operands; same "
+                         "values to f32 rounding) — the only feasible way "
+                         "to run chain-level int8 quality off-TPU, where "
+                         "XLA's integer conv is ~70x slower")
     ap.add_argument("--out", type=str, default="RESPACING.json")
     args = ap.parse_args()
     per_step_ms = args.per_step_ms or 163.8
-    if args.int8:
+    if args.int8 or args.int8_sim:
         assert args.load_ckpt and not args.continue_train, (
             "--int8 is inference-only (training would hit the int8 guard)"
         )
-        os.environ["DDPM3D_INT8"] = "1"
+        os.environ["DDPM3D_INT8"] = "sim" if args.int8_sim else "1"
 
     import jax
     if args.platform:
