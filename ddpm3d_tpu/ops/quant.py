@@ -61,10 +61,22 @@ def int8_enabled() -> bool:
     return int8_mode() != "off"
 
 
+_EXCLUDE_DEFAULT = "in0_0,head_conv"
+
+
 def int8_excluded(path: str) -> bool:
     """True if a module path matches DDPM3D_INT8_EXCLUDE (comma-separated
-    substrings; e.g. ``"conv_in,out_2"`` keeps the I/O convs in bf16)."""
-    pats = [p for p in os.environ.get("DDPM3D_INT8_EXCLUDE", "").split(",") if p]
+    substrings). Defaults to the I/O convs (``in0_0``, ``head_conv``):
+    they are 2->C / C->2 channels (negligible FLOPs) and keeping them in
+    bf16 recovers 0.1-0.6 dB chain PSNR (measured, README int8 table).
+    Set DDPM3D_INT8_EXCLUDE="" (empty) to quantize everything."""
+    pats = [
+        p
+        for p in os.environ.get(
+            "DDPM3D_INT8_EXCLUDE", _EXCLUDE_DEFAULT
+        ).split(",")
+        if p
+    ]
     return any(p in path for p in pats)
 
 
