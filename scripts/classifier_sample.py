@@ -32,6 +32,18 @@ from ddpm3d_tpu.utils.config import (
 
 def main():
     args = create_argparser().parse_args()
+
+    from ddpm3d_tpu.ops.quant import int8_enabled
+
+    if int8_enabled():
+        # guidance is grad_x log p(y|x) THROUGH the classifier's convs;
+        # quantization rounding has zero gradient, so int8 would silently
+        # null the guidance term rather than degrade it
+        raise RuntimeError(
+            "DDPM3D_INT8 is incompatible with classifier guidance (the "
+            "guidance gradient dies through quantization rounding). Unset "
+            "it, or exclude every classifier conv via DDPM3D_INT8_EXCLUDE."
+        )
     logger.configure(args.save_dir or None)
     enable_compilation_cache()
 
