@@ -166,6 +166,32 @@ def main():
         else 0.0
     )
     per_step_dev = dev_ms / steps_measured if dev_ms else None
+
+    # W8A8 int8 serving mode measured alongside the bf16 headline
+    # (quality-free at the production config — README int8 section;
+    # 100.3 vs 127.2 ms/step measured r3). The env var is a trace-time
+    # gate, so a fresh jit picks it up. Skipped off-TPU (XLA:CPU integer
+    # conv is a ~70x-slower generic path) and when the caller already
+    # benches int8 explicitly (then the PRIMARY number is int8, labeled
+    # by the "precision" field). Opt out with BENCH_INT8=0.
+    int8_per_step_dev = None
+    if (
+        on_tpu
+        and not os.environ.get("DDPM3D_INT8")
+        and os.environ.get("BENCH_INT8", "1") == "1"
+    ):
+        os.environ["DDPM3D_INT8"] = "1"
+        try:
+            jitted8 = jax.jit(lambda p, k, l: run(p, k, l))
+            float(jnp.sum(jitted8(params, key, low)))  # compile + warm
+            d8 = measure_device_ms(
+                lambda: float(jnp.sum(
+                    jitted8(params, jax.random.fold_in(key, 98), low)
+                ))
+            )
+            int8_per_step_dev = d8 / steps_measured if d8 else None
+        finally:
+            del os.environ["DDPM3D_INT8"]
     # rate from the more trustworthy clock when available
     best_per_step = min(per_step, per_step_dev / 1000.0) if per_step_dev else per_step
     full_chain_time = best_per_step * 1000.0
@@ -196,6 +222,14 @@ def main():
         "projected_volume_s_25step_8chip": round(
             18 * 25 * best_per_step / 8, 1
         ) if on_tpu else None,
+        # opt-in int8 serving mode, same program (see above)
+        "per_step_ms_device_int8": (
+            round(int8_per_step_dev, 2) if int8_per_step_dev else None
+        ),
+        "projected_volume_s_25step_8chip_int8": (
+            round(18 * 25 * int8_per_step_dev / 1000.0 / 8, 1)
+            if int8_per_step_dev else None
+        ),
         # self-identify opt-in precision modes so int8 runs are never
         # mistaken for the bf16 default in round-over-round comparisons
         "precision": (
