@@ -10,8 +10,11 @@ verdict" for the numbers.
 
 from .groupnorm import fused_group_norm_silu, reference_group_norm_silu
 from .quant import (
+    calib_enabled,
     conv3d_folded_int8,
     int8_enabled,
     quantize_act,
     quantize_kernel,
+    static_scale_for,
+    static_scales,
 )

@@ -239,15 +239,31 @@ class Conv3DFolded(fnn.Module):
         )
         pad = self.padding
         qmode = "off"
-        from .quant import int8_excluded, int8_mode
+        act_scale = None
+        from .quant import calib_enabled, int8_excluded, int8_mode
 
-        if int8_mode() != "off":
+        if int8_mode() != "off" or calib_enabled():
             try:
                 path = "/".join(str(p) for p in self.path)
             except Exception:  # unbound / interactive use
                 path = self.name or ""
-            if not int8_excluded(path):
+            if calib_enabled():
+                # record this site's fp activation range (max over calls —
+                # i.e. over chain steps when the driver reuses the mutable
+                # collection); tools/calibrate_int8.py turns it into a
+                # static scale. Quantization stays off: ranges must be
+                # measured on the unquantized network.
+                self.sow(
+                    "quant_calib", "act_absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.float32(0.0),
+                )
+            elif not int8_excluded(path):
                 qmode = int8_mode()
+                from .quant import static_scale_for
+
+                act_scale = static_scale_for(path)
         if self.upsample:
             assert (kh, kw) == (3, 3) and (sh, sw) == (1, 1), (
                 "phase upsample-conv requires 3x3 HW stride 1"
@@ -257,7 +273,7 @@ class Conv3DFolded(fnn.Module):
 
                 y = upsample_conv_folded_int8(
                     x.astype(dtype), kernel, self.batch,
-                    sim=(qmode == "sim"),
+                    sim=(qmode == "sim"), act_scale=act_scale,
                 )
             else:
                 from .phase_up import upsample_conv_folded
@@ -276,6 +292,7 @@ class Conv3DFolded(fnn.Module):
                 x.astype(dtype), kernel, self.batch,
                 strides_hw=(sh, sw),
                 padding_hw=None if pad is None else tuple(pad)[1:],
+                act_scale=act_scale,
             )
             if bias is not None:
                 y = y + bias.astype(y.dtype)

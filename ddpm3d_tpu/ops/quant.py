@@ -9,10 +9,15 @@ B*D-folded lowering (ops/conv3d.py:conv3d_folded):
 - weights: symmetric per-output-channel scales, quantized at trace time
   from the loaded parameter (a scan-invariant — XLA hoists the one-time
   quantization out of the sampler's step loop);
-- activations: symmetric PER-SAMPLE dynamic scales (abs-max each call) —
-  diffusion activations swing with timestep t, so static calibration is
-  not safe across the chain; per-sample (not per-tensor) keeps sharded
-  patches independent (see quantize_act);
+- activations: symmetric PER-SAMPLE dynamic scales (abs-max each call)
+  by default; per-sample (not per-tensor) keeps sharded patches
+  independent (see quantize_act). Optionally STATIC per-conv-site scales
+  calibrated offline over a real sampling chain (tools/calibrate_int8.py
+  -> DDPM3D_INT8_SCALES=<json>): the on-chip abs-max reductions — ~9
+  ms/step of the measured int8 step — become trace-time constants. The
+  GroupNorm islands renormalize every block, so per-site ranges are
+  nearly timestep-invariant in practice; the calibration file records
+  the per-step spread so that assumption is checked per checkpoint;
 - accumulation: int32 on the MXU; depth taps accumulate in int32 and
   dequantize ONCE (they share the activation scale);
 - dequantize: y = y_i32 * (s_x * s_w[c]), fused by XLA into the bias add.
@@ -61,6 +66,71 @@ def int8_enabled() -> bool:
     return int8_mode() != "off"
 
 
+def calib_enabled() -> bool:
+    """True under ``DDPM3D_INT8_CALIB=1``: Conv3DFolded runs the normal fp
+    path but sows each site's activation abs-max into the ``quant_calib``
+    collection (visible via ``model.apply(..., mutable=["quant_calib"])``).
+    Used by tools/calibrate_int8.py; mutually exclusive with DDPM3D_INT8
+    (calibration must see UNQUANTIZED ranges)."""
+    return os.environ.get("DDPM3D_INT8_CALIB", "0") == "1"
+
+
+_scales_cache: Tuple[Optional[str], dict] = (None, {})
+
+
+def static_scales() -> dict:
+    """Per-conv-site static activation scales from ``DDPM3D_INT8_SCALES``
+    (a JSON file written by tools/calibrate_int8.py: ``{"scales": {path:
+    s}}``). Empty dict when unset. Cached per env value so tests can
+    repoint the file.
+
+    The value ``const:<s>`` (e.g. ``const:0.05``) applies one scale to
+    EVERY site — timing-identical to a calibrated file with no
+    calibration run, for speed benches/profiling (bench.py) where output
+    values don't matter. Never serve with it: real per-site ranges span
+    orders of magnitude."""
+    global _scales_cache
+    fname = os.environ.get("DDPM3D_INT8_SCALES") or None
+    if _scales_cache[0] == fname:
+        return _scales_cache[1]
+    table: dict = {}
+    if fname and fname.startswith("const:"):
+        table = {"__const__": float(fname[len("const:"):])}
+    elif fname:
+        import json
+
+        with open(fname) as f:
+            table = {
+                str(k): float(v)
+                for k, v in json.load(f)["scales"].items()
+            }
+    _scales_cache = (fname, table)
+    return table
+
+
+def static_scale_for(path: str) -> Optional[float]:
+    """The calibrated scale for a conv site, or None (-> dynamic abs-max).
+    Missing sites fall back to dynamic quantization rather than erroring —
+    but loudly (once per trace): a silent fallback would hide a
+    calibration/model mismatch and quietly keep the abs-max reductions on
+    the hot path."""
+    table = static_scales()
+    if not table:
+        return None
+    if "__const__" in table:
+        return table["__const__"]
+    s = table.get(path)
+    if s is None:
+        import warnings
+
+        warnings.warn(
+            f"DDPM3D_INT8_SCALES has no entry for conv site '{path}' — "
+            "falling back to dynamic abs-max for it (was the scales file "
+            "calibrated on this model config?)"
+        )
+    return s
+
+
 _EXCLUDE_DEFAULT = "in0_0,head_conv"
 
 
@@ -81,7 +151,7 @@ def int8_excluded(path: str) -> bool:
 
 
 def quantize_act(
-    x: jnp.ndarray, batch: int = 1
+    x: jnp.ndarray, batch: int = 1, static_scale: Optional[float] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric PER-SAMPLE int8 quantization with dynamic abs-max scales.
 
@@ -93,13 +163,23 @@ def quantize_act(
     conv AND a topology-dependent scale, breaking the pipeline's
     single-device/sharded bit-identity property, tests/test_parallel.py).
 
+    ``static_scale`` (a calibrated per-site constant, see static_scales)
+    replaces the dynamic abs-max entirely: no reduction is emitted, the
+    scale is a trace-time scalar shared by every sample (trivially
+    sharding-safe), and out-of-range values saturate at +-127.
+
     Returns ``(q, scale)``: ``q`` int8 like ``x``; ``scale`` f32 broadcast
     against ``x`` (shape (B*D,1,1,1) — rows of one sample share their
-    scale). An all-zero sample maps to scale=1 (q=0).
+    scale — or a scalar in the static case). An all-zero sample maps to
+    scale=1 (q=0).
     """
+    x32 = x.astype(jnp.float32)
+    if static_scale is not None:
+        scale = jnp.float32(static_scale)
+        q = jnp.clip(jnp.round(x32 / scale), -127, 127)
+        return q.astype(jnp.int8), scale
     BD = x.shape[0]
     assert BD % max(batch, 1) == 0, (BD, batch)
-    x32 = x.astype(jnp.float32)
     amax = jnp.max(
         jnp.abs(x32.reshape(batch, -1)), axis=1
     )  # (B,)
@@ -131,6 +211,7 @@ def conv3d_folded_sim(
     batch: int,
     strides_hw: Tuple[int, int] = (1, 1),
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
+    act_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Fake-quant twin of :func:`conv3d_folded_int8`: both operands are
     quantized and DEQUANTIZED, then convolved with the fast fp kernels in
@@ -139,7 +220,7 @@ def conv3d_folded_sim(
     the shared activation scale."""
     from .conv3d import conv3d_folded
 
-    xq, s_x = quantize_act(x, batch)
+    xq, s_x = quantize_act(x, batch, static_scale=act_scale)
     kq, s_w = quantize_kernel(kernel)
     xd = xq.astype(jnp.float32) * s_x
     kd = kq.astype(jnp.float32) * s_w
@@ -156,6 +237,7 @@ def conv3d_folded_int8(
     batch: int,
     strides_hw: Tuple[int, int] = (1, 1),
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
+    act_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """W8A8 variant of ops/conv3d.py:conv3d_folded (shifted-tap lowering).
 
@@ -164,6 +246,8 @@ def conv3d_folded_int8(
     mask (exact in int8 — symmetric quantization has no zero point), each
     tap an NHWC int8 conv2d accumulating int32, summed in int32, then one
     dequantize by ``s_x * s_w[c]``. Output dtype follows ``x``.
+
+    ``act_scale``: calibrated static activation scale (no abs-max reduce).
     """
     BD, H, W, C = x.shape
     kd, kh, kw = kernel.shape[:3]
@@ -173,7 +257,7 @@ def conv3d_folded_int8(
         padding_hw = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     pd = kd // 2
 
-    xq, s_x = quantize_act(x, batch)
+    xq, s_x = quantize_act(x, batch, static_scale=act_scale)
     kq, s_w = quantize_kernel(kernel)
 
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
@@ -205,6 +289,7 @@ def upsample_conv_folded_int8(
     kernel: jnp.ndarray,
     batch: int,
     sim: bool = False,
+    act_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """W8A8 variant of ops/phase_up.py:upsample_conv_folded.
 
@@ -227,7 +312,7 @@ def upsample_conv_folded_int8(
     pd = kd // 2
     phases = phase_up_kernels(kernel.astype(jnp.float32))
 
-    xq, s_x = quantize_act(x, batch)
+    xq, s_x = quantize_act(x, batch, static_scale=act_scale)
     if sim:
         xq = xq.astype(jnp.float32) * s_x
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))

@@ -32,6 +32,8 @@ def main():
     if args.int8:
         # must be set before any conv traces (trace-time gate)
         os.environ["DDPM3D_INT8"] = "1"
+        if args.int8_scales:
+            os.environ["DDPM3D_INT8_SCALES"] = args.int8_scales
     if args.platform:
         # JAX_PLATFORMS env cannot override the environment's preset
         # platform (sitecustomize pre-imports jax); the config API wins.
@@ -220,6 +222,9 @@ def create_argparser():
         # beyond-reference: W8A8 int8 conv torso on the MXU (ops/quant.py);
         # 2x the bf16 FLOP rate, quality measured in RESPACING_*INT8.json
         int8=False,
+        # static activation scales file (tools/calibrate_int8.py): removes
+        # the dynamic abs-max reductions (~9 ms/step) from the int8 step
+        int8_scales="",
         # force a jax platform (e.g. "cpu" for smokes); default: environment
         platform="",
     )

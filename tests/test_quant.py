@@ -341,3 +341,172 @@ class TestSimMode:
         monkeypatch.setenv("DDPM3D_INT8", "sim")
         y_sim = m.apply(params, x)
         np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
+
+class TestStaticScales:
+    """Calibrated static activation scales (DDPM3D_INT8_SCALES): trace-time
+    constants replacing the dynamic abs-max reductions (ops/quant.py
+    static_scales; calibration sow in ops/conv3d.py:Conv3DFolded)."""
+
+    def _dyn_scale(self, x):
+        _, s = quantize_act(x, 1)
+        return float(np.asarray(s).ravel()[0])
+
+    def test_static_equals_dynamic_at_same_scale(self):
+        x = jax.random.normal(jax.random.key(30), (6, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(jax.random.key(31), (3, 3, 3, 8, 8),
+                              jnp.float32) * 0.1
+        s = self._dyn_scale(x)
+        q_dyn, s_dyn = quantize_act(x, 1)
+        q_st, s_st = quantize_act(x, 1, static_scale=s)
+        np.testing.assert_array_equal(q_st, q_dyn)
+        assert s_st.shape == ()  # scalar: no per-sample broadcast tensor
+        y_dyn = conv3d_folded_int8(x, k, 1)
+        y_st = conv3d_folded_int8(x, k, 1, act_scale=s)
+        np.testing.assert_allclose(y_st, y_dyn, rtol=1e-6, atol=1e-6)
+
+    def test_static_saturates_out_of_range(self):
+        """A too-small calibrated scale clips to +-127 instead of blowing
+        up — the failure mode of serving volumes outside the calibration
+        set is saturation, not garbage."""
+        x = jnp.full((4, 4, 4, 4), 10.0, jnp.float32)
+        q, s = quantize_act(x, 1, static_scale=10.0 / 127.0 / 4.0)
+        assert int(jnp.max(q)) == 127
+        assert np.isfinite(np.asarray(q.astype(jnp.float32) * s)).all()
+
+    def test_sim_equals_int8_static(self):
+        from ddpm3d_tpu.ops.quant import conv3d_folded_sim
+
+        x = jax.random.normal(jax.random.key(32), (5, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(jax.random.key(33), (3, 3, 3, 8, 8),
+                              jnp.float32) * 0.1
+        s = self._dyn_scale(x) * 1.3  # deliberately not the dynamic scale
+        y_int8 = conv3d_folded_int8(x, k, 1, act_scale=s)
+        y_sim = conv3d_folded_sim(x, k, 1, act_scale=s)
+        np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
+
+    def test_module_applies_scales_file(self, tmp_path, monkeypatch):
+        """End-to-end through Conv3DFolded: a scales file keyed by the
+        module path is picked up; with the exact dynamic scale the output
+        matches the dynamic int8 path bit-for-bit, and a wrong scale
+        provably changes it (the lookup is live, not a no-op)."""
+        import json
+
+        from flax import linen as fnn
+
+        class Wrap(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return Conv3DFolded(features=8, batch=1, name="c1")(x)
+
+        m = Wrap()
+        x = jax.random.normal(jax.random.key(34), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(35), x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_dyn = m.apply(params, x)
+        s_dyn = self._dyn_scale(x)
+
+        f_exact = tmp_path / "exact.json"
+        f_exact.write_text(json.dumps({"scales": {"c1": s_dyn}}))
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f_exact))
+        np.testing.assert_array_equal(m.apply(params, x), y_dyn)
+
+        f_wrong = tmp_path / "wrong.json"
+        f_wrong.write_text(json.dumps({"scales": {"c1": s_dyn * 7.0}}))
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f_wrong))
+        assert float(jnp.linalg.norm(m.apply(params, x) - y_dyn)) > 0
+
+    def test_missing_site_falls_back_dynamic(self, tmp_path, monkeypatch):
+        import json
+
+        m = Conv3DFolded(features=8, batch=1)
+        x = jax.random.normal(jax.random.key(36), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(37), x)
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_dyn = m.apply(params, x)
+        f = tmp_path / "other.json"
+        f.write_text(json.dumps({"scales": {"not/this/site": 0.01}}))
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f))
+        np.testing.assert_array_equal(m.apply(params, x), y_dyn)
+
+    def test_calibration_sow(self, monkeypatch):
+        """DDPM3D_INT8_CALIB=1: fp output unchanged (calibration must see
+        unquantized ranges — it wins even if DDPM3D_INT8 is set), and the
+        quant_calib collection carries max|x| per site under the same path
+        string the int8 gate matches on, max-reduced across calls."""
+        from flax import linen as fnn
+
+        class Wrap(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                h = Conv3DFolded(features=8, batch=1, name="c1")(x)
+                return Conv3DFolded(features=4, batch=1, name="c2")(h)
+
+        m = Wrap()
+        x = jax.random.normal(jax.random.key(38), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(39), x)
+        y_fp = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8_CALIB", "1")
+        monkeypatch.setenv("DDPM3D_INT8", "1")  # calib must override
+        y_cal, muts = m.apply(params, x, mutable=["quant_calib"])
+        np.testing.assert_array_equal(y_cal, y_fp)
+        cal = muts["quant_calib"]
+        got = float(np.asarray(cal["c1"]["act_absmax"]))
+        np.testing.assert_allclose(got, float(jnp.max(jnp.abs(x))),
+                                   rtol=1e-6)
+        assert "act_absmax" in cal["c2"]
+        # reduce across calls: feeding a larger input keeps the max
+        y2, muts2 = m.apply(
+            params, 3.0 * x, mutable=["quant_calib"],
+        )
+        big = float(np.asarray(muts2["quant_calib"]["c1"]["act_absmax"]))
+        np.testing.assert_allclose(big, 3.0 * got, rtol=1e-6)
+
+    def test_calibrate_tool_roundtrip(self, tmp_path, monkeypatch):
+        """The tool's flatten/scale derivation applied to a sown
+        collection produces a file whose sites Conv3DFolded resolves."""
+        import json
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tools"))
+        from calibrate_int8 import flatten_calib
+
+        from flax import linen as fnn
+
+        class Inner(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return Conv3DFolded(features=8, batch=1, name="conv")(x)
+
+        class Outer(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return Inner(name="blk")(x)
+
+        m = Outer()
+        x = jax.random.normal(jax.random.key(40), (4, 8, 8, 8), jnp.float32)
+        params = m.init(jax.random.key(41), x)
+        monkeypatch.setenv("DDPM3D_INT8_CALIB", "1")
+        _, muts = m.apply(params, x, mutable=["quant_calib"])
+        monkeypatch.delenv("DDPM3D_INT8_CALIB")
+        flat = flatten_calib(jax.device_get(muts["quant_calib"]))
+        assert list(flat) == ["blk/conv"]
+        scales = {k: v / 127.0 for k, v in flat.items()}
+        f = tmp_path / "cal.json"
+        f.write_text(json.dumps({"scales": scales}))
+        monkeypatch.setenv("DDPM3D_INT8", "1")
+        y_dyn = m.apply(params, x)
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f))
+        # the calibrated scale IS this input's dynamic per-tensor scale
+        np.testing.assert_array_equal(m.apply(params, x), y_dyn)
+
+    def test_const_scales_mode(self, monkeypatch):
+        """DDPM3D_INT8_SCALES=const:<s> applies one scale to every site
+        (timing-only mode for benches — no calibration file needed)."""
+        from ddpm3d_tpu.ops.quant import static_scale_for
+
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", "const:0.05")
+        assert static_scale_for("any/site") == 0.05
+        assert static_scale_for("another") == 0.05
+        monkeypatch.delenv("DDPM3D_INT8_SCALES")
+        assert static_scale_for("any/site") is None

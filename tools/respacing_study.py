@@ -91,6 +91,11 @@ def main():
                          "values to f32 rounding) — the only feasible way "
                          "to run chain-level int8 quality off-TPU, where "
                          "XLA's integer conv is ~70x slower")
+    ap.add_argument("--int8_scales", type=str, default="",
+                    help="with --int8/--int8_sim: static activation scales "
+                         "file (tools/calibrate_int8.py) instead of dynamic "
+                         "abs-max — measures the quality cost of the "
+                         "static-calibration serving mode")
     ap.add_argument("--out", type=str, default="RESPACING.json")
     args = ap.parse_args()
     per_step_ms = args.per_step_ms or 163.8
@@ -99,6 +104,8 @@ def main():
             "--int8 is inference-only (training would hit the int8 guard)"
         )
         os.environ["DDPM3D_INT8"] = "sim" if args.int8_sim else "1"
+        if args.int8_scales:
+            os.environ["DDPM3D_INT8_SCALES"] = args.int8_scales
 
     import jax
     if args.platform:
