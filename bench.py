@@ -264,7 +264,8 @@ def main():
 def bench_train(jax, jnp, np, platform, on_tpu):
     """BENCH_MODE=train: flagship training-step throughput (wall,
     min-of-reps). The trace-level breakdown lives in
-    tools/profile_train.py (543 ms/step device at the flagship config)."""
+    tools/profile_train.py (471.1 ms/step device at the flagship config,
+    round 3 — folded layout + resolution-aware remat + phase-up)."""
     from ddpm3d_tpu.diffusion import (
         DiffusionConfig, LossType, MeanType, VarType,
         linear_beta_schedule, make_schedule,

@@ -113,11 +113,3 @@ def upsample_conv_folded(
         axis=2,
     )  # [BD, H, 2, W, 2, Cout]
     return rows.reshape(BD, 2 * H, 2 * W, Cout)
-
-
-def upsample_conv_1x1_commute(x: jnp.ndarray) -> jnp.ndarray:
-    """Marker helper: a 1x1 conv commutes with nearest upsampling —
-    ``conv1x1(up(x)) == up(conv1x1(x))`` — so callers should apply the 1x1
-    at LOW resolution and upsample after (4x fewer MACs and reads). The
-    model layer uses this ordering directly; nothing to compute here."""
-    raise NotImplementedError("ordering hint only; see models/unet.py")

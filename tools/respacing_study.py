@@ -50,7 +50,11 @@ def main():
     ap.add_argument("--settings", type=str, default="",
                     help="comma list restricting eval rows, e.g. "
                          "'ddpm1000,ddpm250,ddim50' (default: all)")
-    ap.add_argument("--n_eval", type=int, default=2)
+    ap.add_argument("--n_eval", type=int, default=2,
+                    help="held-out eval volumes (flagship claims use >= 8)")
+    ap.add_argument("--n_draws", type=int, default=1,
+                    help="independent x_T draws per eval volume; rows "
+                         "report mean +- std over all volume x draw chains")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--per_step_ms", type=float, default=None,
                     help="measured flagship 96^3 per-step ms for the "
@@ -237,14 +241,17 @@ def main():
             )
             print(f"saved EMA params to {args.save_ckpt}", flush=True)
 
-    # held-out volumes; ONE matched x_T per volume across every setting
+    # held-out volumes; MATCHED x_T per (volume, draw) across every setting
     evals = [make_pair(np.random.default_rng(123 + i), shape)
              for i in range(args.n_eval)]
     lows = [jnp.asarray(scale(noisy))[None, ..., None]
             for noisy, _ in evals]
-    x_Ts = [np.asarray(jax.random.normal(
-        jax.random.key(77 + i), (1, S, S, S, 1), jnp.float32))
-        for i in range(len(evals))]
+    x_Ts = [
+        [np.asarray(jax.random.normal(
+            jax.random.key(77 + i + 1000 * d), (1, S, S, S, 1), jnp.float32))
+         for d in range(args.n_draws)]
+        for i in range(len(evals))
+    ]
     ema = state.ema_params[0]
 
     def sample(respace, sampler, low, x_T, params_override=None, use_ts=None):
@@ -307,7 +314,7 @@ def main():
     for n in (50, 25, 10):
         settings.append((f"dpm2m{n}", f"ddim{n}", "dpm2m"))
 
-    ref_outs = [None] * len(evals)
+    ref_outs = [[None] * args.n_draws for _ in evals]
     rows = []
     p_noisy = float(np.mean(
         [psnr(c, n, data_range=1.0) for n, c in evals]))
@@ -319,14 +326,15 @@ def main():
         t0 = time.time()
         pc, sc, pr, sr = [], [], [], []
         for i, (noisy, clean) in enumerate(evals):
-            out = sample(respace, sampler, lows[i], x_Ts[i],
-                         params_override=params_override, use_ts=use_ts)
-            if ref_outs[i] is None:
-                ref_outs[i] = out  # ddpm1000 is the reference output
-            pc.append(psnr(clean, out, data_range=1.0))
-            sc.append(ssim(clean, out, data_range=1.0))
-            pr.append(psnr(ref_outs[i], out, data_range=1.0))
-            sr.append(ssim(ref_outs[i], out, data_range=1.0))
+            for d in range(args.n_draws):
+                out = sample(respace, sampler, lows[i], x_Ts[i][d],
+                             params_override=params_override, use_ts=use_ts)
+                if ref_outs[i][d] is None:
+                    ref_outs[i][d] = out  # ddpm1000 is the reference output
+                pc.append(psnr(clean, out, data_range=1.0))
+                sc.append(ssim(clean, out, data_range=1.0))
+                pr.append(psnr(ref_outs[i][d], out, data_range=1.0))
+                sr.append(ssim(ref_outs[i][d], out, data_range=1.0))
         dt = time.time() - t0
         import re as _re
 
@@ -339,10 +347,14 @@ def main():
         rows.append({
             "setting": name, "steps": steps,
             "psnr_vs_clean_db": round(float(np.mean(pc)), 2),
+            "psnr_vs_clean_db_std": round(float(np.std(pc)), 2),
             "ssim_vs_clean": round(float(np.mean(sc)), 4),
+            "ssim_vs_clean_std": round(float(np.std(sc)), 4),
             "psnr_vs_ddpm1000_db": round(float(np.mean(pr)), 2),
             "ssim_vs_ddpm1000": round(float(np.mean(sr)), 4),
+            "n_chains": len(pc),
             "projected_v5e8_volume_s": round(proj_s, 1),
+            "row_wall_s": round(dt, 1),
         })
         print(f"{name}: {rows[-1]}  ({dt:.1f}s wall)", flush=True)
 
@@ -391,16 +403,43 @@ def main():
                          params_override=d_dev, use_ts=use_ts)
             t0 = time.time()
 
+    # Provenance: every field below is emitted from the ACTUAL run state —
+    # never hand-edited, never a CLI default masquerading as what happened
+    # (round-3 verdict: the model string hardcoded "(1,2)" and train_steps
+    # reported the unused default under --load_ckpt).
+    trained_this_run = (
+        args.train_steps if (not args.load_ckpt or args.continue_train)
+        else 0
+    )
+    int8_mode = (
+        "sim" if args.int8_sim else ("int8" if args.int8 else None)
+    )
     result = {
         "protocol": {
-            "model": (f"SuperResModel {args.model_channels}ch (1,2) noatt, "
-                      "learn_sigma"),
-            "train_steps": args.train_steps, "patch": S,
+            "argv": sys.argv,
+            "model": (
+                f"SuperResModel {args.model_channels}ch "
+                f"({args.channel_mult}) x{args.num_res_blocks}rb noatt, "
+                "learn_sigma"
+            ),
+            "model_channels": args.model_channels,
+            "channel_mult": [
+                int(m) for m in args.channel_mult.split(",")
+            ],
+            "num_res_blocks": args.num_res_blocks,
+            "patch": S,
+            "train_steps_this_run": trained_this_run,
+            "load_ckpt": args.load_ckpt or None,
+            "n_eval": args.n_eval,
+            "n_draws": args.n_draws,
+            "platform": jax.default_backend(),
             "diffusion": (
                 "1000-step linear, "
                 + ("velocity" if args.predict_v else "epsilon")
                 + ", LEARNED_RANGE"
             ),
+            "int8": int8_mode,
+            "int8_scales": (args.int8_scales or None) if int8_mode else None,
             "matched_x_T": True, "flagship_per_step_ms": per_step_ms,
             "distill": (
                 {
