@@ -89,3 +89,89 @@ def test_two_process_distributed(tmp_path):
     assert osp.exists(logs / "log-rank001.txt")
     csv = (logs / "progress.csv").read_text().splitlines()
     assert csv[0].split(",")[0] in ("loss", "rank")  # header written
+
+
+def _run_workers(workdir, nproc, local_devices, scenario, spatial):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                osp.join(HERE, "multiproc_worker.py"),
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", str(nproc),
+                "--process_id", str(pid),
+                "--workdir", str(workdir),
+                "--scenario", scenario,
+                "--spatial", str(spatial),
+            ],
+            env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER {pid} OK" in out
+    results = []
+    for pid in range(nproc):
+        with open(osp.join(str(workdir), f"result_{pid}.json")) as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_four_process_full_scenario(tmp_path):
+    """4 processes x 2 devices over a (4 data x 2 spatial) mesh: real
+    production train steps, checkpoint save/resume bit-equivalence, a
+    sharded inference chain, per-rank logs — asserted EQUAL to the same
+    program run as 1 process x 8 devices. The topology where rank bugs
+    (coordinator bootstrap, process-0 writers, cross-host collectives)
+    actually manifest; replaces reference dist_util.py:22-47 +
+    test_DDPM_3d_mpi.sh's `mpiexec -n 6`."""
+    import numpy as np
+
+    multi_dir = tmp_path / "multi"
+    single_dir = tmp_path / "single"
+    multi_dir.mkdir()
+    single_dir.mkdir()
+
+    multi = _run_workers(multi_dir, 4, 2, "full", 2)
+    single = _run_workers(single_dir, 1, 8, "full", 2)
+
+    # world view + rank agreement
+    for r in multi:
+        assert r["nproc"] == 4 and r["global_devices"] == 8
+        assert r["losses"] == multi[0]["losses"]
+        assert r["infer_checksum"] == multi[0]["infer_checksum"]
+        # save/resume: continued and resumed branches bit-identical
+        assert r["resume_max_diff"] == 0.0
+        # 4-rank weighted means: sum(i*i)/sum(i), i=1..4 -> 3.0
+        assert r["weighted_mean"] == pytest.approx(3.0, rel=1e-6)
+
+    # multi-process == single-process (same global program)
+    assert single[0]["global_devices"] == 8
+    assert multi[0]["losses"] == pytest.approx(single[0]["losses"], rel=1e-6)
+    ia = np.load(multi_dir / "infer.npy")
+    ib = np.load(single_dir / "infer.npy")
+    assert ia.shape == ib.shape == (4, 8, 16, 16, 1)
+    np.testing.assert_allclose(ia, ib, atol=1e-5)
+
+    # process-0-only checkpoint writes, all three kinds
+    for name in ("model000002.msgpack", "ema_0.99_000002.msgpack",
+                 "opt000002.msgpack"):
+        assert osp.exists(multi_dir / "ckpt" / name)
+
+    # per-rank logger outputs at 4 ranks
+    logs = multi_dir / "logs"
+    assert osp.exists(logs / "log.txt")
+    assert osp.exists(logs / "progress.csv")
+    for r in (1, 2, 3):
+        assert osp.exists(logs / f"log-rank00{r}.txt")
