@@ -352,6 +352,7 @@ class TrainLoop:
         )
         self._jitted = jax.jit(self.train_step_fn, donate_argnums=(0,))
         self.step = 0
+        self._pending_metrics = []  # (step, device metrics), drained lazily
         self._example = (example_batch, example_cond)
 
     def _init_state(self, example_batch, example_cond):
@@ -436,12 +437,15 @@ class TrainLoop:
             batch, cond = next(self.data)
             self.run_step(batch, cond)
             if self.step % self.log_interval == 0:
+                self._drain_metrics()
                 logger.dumpkvs()
             if self.step % self.save_interval == 0:
+                self._drain_metrics()
                 self.save()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                     return
             self.step += 1
+        self._drain_metrics()
         if (self.step - 1) % self.save_interval != 0:
             self.save()
 
@@ -452,9 +456,19 @@ class TrainLoop:
             k: pmesh.shard_batch(self.mesh, jnp.asarray(v)) for k, v in cond.items()
         }
         self.state, metrics = self._jitted(self.state, batch_dev, cond_dev, step_key)
-        self._log_metrics(metrics)
+        # Defer the host readback: device_get here would block until the
+        # step finishes, serializing every dispatch with the device (and,
+        # through a tunneled runtime, adding a full round-trip per step).
+        # Metrics stay on device and drain at log/save boundaries, letting
+        # JAX's async dispatch pipeline consecutive steps.
+        self._pending_metrics.append((self.step, metrics))
 
-    def _log_metrics(self, metrics):
+    def _drain_metrics(self):
+        for step_i, metrics in self._pending_metrics:
+            self._log_metrics(metrics, step_i)
+        self._pending_metrics.clear()
+
+    def _log_metrics(self, metrics, step_i):
         metrics = jax.device_get(metrics)
         ts = metrics.pop("t")
         logger.logkv_mean("grad_norm", float(metrics.pop("grad_norm")))
@@ -463,12 +477,14 @@ class TrainLoop:
             logger.logkv("lg_loss_scale", float(metrics.pop("lg_loss_scale")))
         skipped = float(metrics.pop("skipped_nonfinite"))
         if skipped:
-            logger.log("Found non-finite grads; skipped optimizer step")
+            logger.log(
+                f"Found non-finite grads; skipped optimizer step {step_i}"
+            )
         losses = {k: v for k, v in metrics.items()}
         log_loss_dict(self.sched.num_timesteps, ts, losses)
-        logger.logkv("step", self.step + self.resume_step)
+        logger.logkv("step", step_i + self.resume_step)
         logger.logkv(
-            "samples", (self.step + self.resume_step + 1) * self.global_batch
+            "samples", (step_i + self.resume_step + 1) * self.global_batch
         )
 
     def save(self):

@@ -1,0 +1,243 @@
+"""Whole-volume quality harness — the evidence loop the reference ships.
+
+The reference's deliverable is a Hann-blended whole-body volume
+(/root/reference/scripts/test.py:92-182) and its README's PSNR/SSIM tables
+are volume-level (README.md:37-44). This tool closes that loop for the TPU
+framework: it drives the REAL CLI (`scripts/test.py`) end-to-end per
+(volume, config) — patch grid, full reverse chains, Hann blending, /4
+normalization, file IO — then scores the blended outputs against clean
+ground truth and runs a seam check (patch-interior voxels vs the
+multi-patch overlap bands, which patch-level studies structurally cannot
+see).
+
+Usage:
+  python tools/volume_quality.py \
+      --eval_low_dir /tmp/wb_eval_low --eval_clean_dir /tmp/wb_eval_clean \
+      --model_path ema.msgpack --predict_v True \
+      --configs ddpm25:bf16,ddpm25:int8,ddpm250:bf16@4 \
+      --int8_scales scales.msgpack --out VOLUME_QUALITY.json
+
+Config syntax: <sampler><steps>:<precision>[@n_volumes]
+  sampler in {ddpm, ddim}; precision in {bf16, int8} (int8 uses
+  --int8_scales when given, i.e. the static-calibration serving mode).
+
+Every protocol field is emitted from the actual run — never hand-edited.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import re
+import subprocess
+import sys
+import time
+
+sys.path.append(osp.abspath(osp.join(osp.dirname(__file__), "..")))
+
+import numpy as np
+
+from ddpm3d_tpu.data import tiff_io
+from ddpm3d_tpu.data.patches import patch_grid, test_xy_starts, test_z_starts
+from ddpm3d_tpu.utils.metrics import psnr, ssim
+
+HERE = osp.dirname(osp.abspath(__file__))
+TEST_PY = osp.join(HERE, "..", "scripts", "test.py")
+
+
+def coverage_mask(shape_zxy, patch_size, num_xy_patches):
+    """Per-voxel count of covering patches for the fixed test grid."""
+    Z, H, W = shape_zxy
+    xs = test_xy_starts(H, patch_size, num_xy_patches)
+    ys = test_xy_starts(W, patch_size, num_xy_patches)
+    zs = test_z_starts(Z, patch_size)
+    cov = np.zeros(shape_zxy, np.int32)
+    for (x, y, z) in patch_grid(xs, ys, zs):
+        cov[z:z + patch_size, x:x + patch_size, y:y + patch_size] += 1
+    return cov
+
+
+def region_psnr(a, b, mask, data_range):
+    if not mask.any():
+        return None
+    mse = float(np.mean((a[mask] - b[mask]) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range * data_range / mse))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval_low_dir", required=True)
+    ap.add_argument("--eval_clean_dir", required=True)
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--configs", default="ddpm25:bf16,ddpm25:int8,"
+                    "ddpm250:bf16@4,ddpm250:int8@4")
+    ap.add_argument("--int8_scales", default="")
+    ap.add_argument("--n_volumes", type=int, default=8,
+                    help="default volumes per config (@N overrides)")
+    ap.add_argument("--batch_size", type=int, default=3)
+    ap.add_argument("--segment_steps", type=int, default=100)
+    ap.add_argument("--patch_size", type=int, default=96)
+    ap.add_argument("--blend", default="hann")
+    ap.add_argument("--workdir", default="/tmp/volume_quality")
+    ap.add_argument("--out", default="VOLUME_QUALITY.json")
+    # model flags forwarded to scripts/test.py
+    ap.add_argument("--num_channels", type=int, default=128)
+    ap.add_argument("--num_res_blocks", type=int, default=2)
+    ap.add_argument("--num_head_channels", type=int, default=64)
+    ap.add_argument("--attention_resolutions", default="1000")
+    ap.add_argument("--learn_sigma", default="True")
+    ap.add_argument("--predict_v", default="True")
+    ap.add_argument("--use_scale_shift_norm", default="True")
+    ap.add_argument("--resblock_updown", default="True")
+    ap.add_argument("--seed", type=int, default=10)
+    ap.add_argument("--platform", default="",
+                    help="forwarded to scripts/test.py (e.g. cpu smokes)")
+    args = ap.parse_args()
+
+    names = sorted(os.listdir(args.eval_low_dir))
+    pairs = []
+    for n in names:
+        lo = osp.join(args.eval_low_dir, n)
+        cl = osp.join(args.eval_clean_dir, n)
+        assert osp.exists(cl), f"no clean counterpart for {n}"
+        pairs.append((n, lo, cl))
+    assert pairs, "no eval volumes found"
+
+    cleans = {n: tiff_io.imread(cl) for n, _, cl in pairs}
+    lows = {n: tiff_io.imread(lo) for n, lo, _ in pairs}
+    shape = next(iter(cleans.values())).shape
+    dr = float(max(c.max() for c in cleans.values()))
+
+    cov = coverage_mask(shape, args.patch_size, 3)
+    interior = cov == 1
+    seam = cov >= 2
+
+    # noisy-input baseline row (control for the seam check too)
+    def vol_metrics(out, clean):
+        return {
+            "psnr_db": psnr(clean, out, data_range=dr),
+            "ssim": ssim(clean, out, data_range=dr),
+            "psnr_interior_db": region_psnr(clean, out, interior, dr),
+            "psnr_seam_db": region_psnr(clean, out, seam, dr),
+        }
+
+    noisy_rows = [vol_metrics(lows[n], cleans[n]) for n, _, _ in pairs]
+
+    def agg(rows_per_vol, extra=None):
+        keys = ["psnr_db", "ssim", "psnr_interior_db", "psnr_seam_db"]
+        out = {}
+        for k in keys:
+            vals = [r[k] for r in rows_per_vol if r[k] is not None]
+            out[k] = round(float(np.mean(vals)), 3)
+            out[k + "_std"] = round(float(np.std(vals)), 3)
+        out["seam_minus_interior_db"] = round(
+            out["psnr_seam_db"] - out["psnr_interior_db"], 3
+        )
+        out["n_volumes"] = len(rows_per_vol)
+        if extra:
+            out.update(extra)
+        return out
+
+    results = {"noisy_input": agg(noisy_rows)}
+
+    wall_re = re.compile(r"sampling ([0-9.]+)s wall")
+
+    for spec in args.configs.split(","):
+        spec = spec.strip()
+        if not spec:
+            continue
+        if "@" in spec:
+            spec, n_str = spec.split("@")
+            n_vols = int(n_str)
+        else:
+            n_vols = args.n_volumes
+        sampler_steps, precision = spec.split(":")
+        m = re.fullmatch(r"(ddpm|ddim)(\d+)", sampler_steps)
+        assert m, f"bad config {spec}"
+        sampler, steps = m.group(1), int(m.group(2))
+        respacing = str(steps) if sampler == "ddpm" else f"ddim{steps}"
+
+        cfg_dir = osp.join(args.workdir, f"{sampler}{steps}_{precision}")
+        os.makedirs(cfg_dir, exist_ok=True)
+        rows, walls = [], []
+        for n, lo, _ in pairs[:n_vols]:
+            cmd = [
+                sys.executable, TEST_PY,
+                "--base_samples", lo,
+                "--model_path", args.model_path,
+                "--save_dir", osp.join(cfg_dir, osp.splitext(n)[0]),
+                "--large_size", str(args.patch_size),
+                "--num_channels", str(args.num_channels),
+                "--num_res_blocks", str(args.num_res_blocks),
+                "--num_head_channels", str(args.num_head_channels),
+                "--attention_resolutions", args.attention_resolutions,
+                "--learn_sigma", args.learn_sigma,
+                "--predict_v", args.predict_v,
+                "--use_scale_shift_norm", args.use_scale_shift_norm,
+                "--resblock_updown", args.resblock_updown,
+                "--diffusion_steps", "1000",
+                "--noise_schedule", "linear",
+                "--timestep_respacing", respacing,
+                "--use_ddim", str(sampler == "ddim"),
+                "--batch_size", str(args.batch_size),
+                "--segment_steps", str(args.segment_steps),
+                "--normalize_div4", "True",
+                "--blend", args.blend,
+                "--seed", str(args.seed),
+            ]
+            if precision == "int8":
+                cmd += ["--int8", "True"]
+                if args.int8_scales:
+                    cmd += ["--int8_scales", args.int8_scales]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            t0 = time.time()
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=7200
+            )
+            wall = time.time() - t0
+            if proc.returncode != 0:
+                print(proc.stdout[-3000:])
+                print(proc.stderr[-3000:])
+                raise RuntimeError(f"{spec} on {n} failed")
+            mw = wall_re.search(proc.stdout + proc.stderr)
+            walls.append(float(mw.group(1)) if mw else wall)
+            out_tif = osp.join(
+                cfg_dir, osp.splitext(n)[0],
+                f"denoised_{osp.splitext(n)[0]}.tif",
+            )
+            out = tiff_io.imread(out_tif)
+            assert out.shape == shape, (out.shape, shape)
+            rows.append(vol_metrics(out, cleans[n]))
+            print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB "
+                  f"(sampling {walls[-1]:.0f}s)", flush=True)
+        results[spec] = agg(rows, extra={
+            "sampling_wall_s_mean": round(float(np.mean(walls)), 1),
+        })
+        print(f"== {spec}: {json.dumps(results[spec])}", flush=True)
+
+    payload = {
+        "protocol": {
+            "argv": sys.argv,
+            "model_path": args.model_path,
+            "int8_scales": args.int8_scales or None,
+            "volume_shape_zxy": list(shape),
+            "data_range": dr,
+            "patch_size": args.patch_size,
+            "blend": args.blend,
+            "normalize_div4": True,
+            "seam_voxels": int(seam.sum()),
+            "interior_voxels": int(interior.sum()),
+            "pipeline": "scripts/test.py subprocess per (volume, config)",
+        },
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
