@@ -231,6 +231,18 @@ def conv3d_folded_sim(
     return y.astype(x.dtype)
 
 
+def int8_impl() -> str:
+    """Depth-tap lowering for the int8 convs: ``taps`` (one int8 conv2d
+    per depth tap, int32 tensor adds between them) or ``concat``
+    (``DDPM3D_INT8_IMPL=concat``: the kd depth-shifted int8 slices are
+    concatenated on the channel axis and convolved ONCE with the
+    (kh,kw,kd*C,Cout)-reshaped kernel). Same math — the channel-axis
+    contraction sums the taps inside the MXU — but ``concat`` emits a
+    single conv and no int32 adds; the extra cost is materialising the
+    kd*C int8 concat (1.5x the bf16 activation bytes at kd=3)."""
+    return os.environ.get("DDPM3D_INT8_IMPL", "taps").lower()
+
+
 def conv3d_folded_int8(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -246,6 +258,9 @@ def conv3d_folded_int8(
     mask (exact in int8 — symmetric quantization has no zero point), each
     tap an NHWC int8 conv2d accumulating int32, summed in int32, then one
     dequantize by ``s_x * s_w[c]``. Output dtype follows ``x``.
+    Under ``DDPM3D_INT8_IMPL=concat`` the taps instead become channel
+    groups of ONE int8 conv (see :func:`int8_impl`) — bit-identical
+    output, different schedule.
 
     ``act_scale``: calibrated static activation scale (no abs-max reduce).
     """
@@ -261,7 +276,7 @@ def conv3d_folded_int8(
     kq, s_w = quantize_kernel(kernel)
 
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
-    out = None
+    taps = []
     for k in range(kd):
         delta = k - pd
         xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
@@ -270,15 +285,33 @@ def conv3d_folded_int8(
             valid = (d_idx + delta >= 0) & (d_idx + delta < D)
             mask = jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
             xs = xs * mask
-        y = jax.lax.conv_general_dilated(
-            xs,
-            kq[k],
+        taps.append(xs)
+    if int8_impl() == "concat":
+        # (kd,kh,kw,C,Cout) -> (kh,kw,kd*C,Cout), matching the tap order
+        # of the channel concat.
+        kcat = jnp.transpose(kq, (1, 2, 0, 3, 4)).reshape(
+            kh, kw, kd * C, -1
+        )
+        out = jax.lax.conv_general_dilated(
+            jnp.concatenate(taps, axis=-1),
+            kcat,
             window_strides=strides_hw,
             padding=tuple(padding_hw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        out = y if out is None else out + y
+    else:
+        out = None
+        for k in range(kd):
+            y = jax.lax.conv_general_dilated(
+                taps[k],
+                kq[k],
+                window_strides=strides_hw,
+                padding=tuple(padding_hw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            out = y if out is None else out + y
     # (BD,1,1,1) x (Cout,) -> broadcast over rows and channels
     scale = (s_x * s_w).astype(jnp.float32)
     return (out.astype(jnp.float32) * scale).astype(x.dtype)

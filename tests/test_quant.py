@@ -127,6 +127,22 @@ class TestConvInt8:
         out = conv3d_folded_int8(x, k, 1)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("batch,strides", [(1, (1, 1)), (2, (1, 1)),
+                                               (2, (2, 2))])
+    def test_concat_impl_matches_taps(self, batch, strides, monkeypatch):
+        """DDPM3D_INT8_IMPL=concat (one conv over the channel-concatenated
+        depth taps) is bit-identical to the per-tap lowering: the channel
+        contraction sums the taps in the same int32 accumulator."""
+        kx, kk = jax.random.split(jax.random.key(7))
+        D, H, W, C, Co = 5, 8, 8, 8, 16
+        x = jax.random.normal(kx, (batch * D, H, W, C), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, C, Co), jnp.float32) * 0.1
+        monkeypatch.delenv("DDPM3D_INT8_IMPL", raising=False)
+        ref = conv3d_folded_int8(x, k, batch, strides_hw=strides)
+        monkeypatch.setenv("DDPM3D_INT8_IMPL", "concat")
+        out = conv3d_folded_int8(x, k, batch, strides_hw=strides)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_offgrid_error_bound(self):
         """Random (off-grid) data: quantization noise stays ~sub-percent in
         the Frobenius norm (127 levels -> ~0.45% rms per operand)."""
