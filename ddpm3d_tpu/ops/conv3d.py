@@ -149,9 +149,13 @@ def conv3d_folded(
     0/1 mask (a no-op multiply for batch==1, where the mask is all-ones
     except the chain ends which replicate SAME zero padding).
 
-    ``impl`` (or the ``DDPM3D_FOLD_TAILS`` per-size table) selects an
-    alternative lowering for this shape: ``"native"`` (unfold -> 5-D conv)
-    or ``"im2col"`` (single GEMM over all taps; stride-1 SAME only).
+    ``impl`` (or the ``DDPM3D_FOLD_TAILS`` per-size table, or the global
+    ``DDPM3D_FOLD_IMPL`` default) selects an alternative lowering for this
+    shape: ``"native"`` (unfold -> 5-D conv), ``"im2col"`` (single GEMM
+    over all kd*kh*kw taps; stride-1 SAME only), or ``"dconcat"`` (depth
+    taps concatenated on the channel axis -> ONE conv2d with the
+    (kh,kw,kd*C,Cout) kernel — same math, one MXU dispatch, no tensor
+    adds between taps).
     """
     BD, H, W, C = x.shape
     kd, kh, kw = kernel.shape[:3]
@@ -163,7 +167,10 @@ def conv3d_folded(
     pd = kd // 2
 
     if impl is None:
-        impl = _fold_impl_table().get(H if H == W else -1, "taps")
+        import os
+
+        default = os.environ.get("DDPM3D_FOLD_IMPL", "taps").lower()
+        impl = _fold_impl_table().get(H if H == W else -1, default)
     if impl == "native":
         return _folded_native(
             x, kernel, batch, strides_hw, padding_hw, preferred_dtype
@@ -176,7 +183,7 @@ def conv3d_folded(
         return _folded_im2col(x, kernel, batch, preferred_dtype)
 
     xp = jnp.pad(x, ((pd, pd), (0, 0), (0, 0), (0, 0)))
-    out = None
+    taps = []
     for k in range(kd):
         delta = k - pd
         xs = jax.lax.slice_in_dim(xp, k, k + BD, axis=0)
@@ -186,8 +193,27 @@ def conv3d_folded(
             valid = (d_idx + delta >= 0) & (d_idx + delta < D)
             mask = jnp.asarray(valid, x.dtype).reshape(BD, 1, 1, 1)
             xs = xs * mask
+        taps.append(xs)
+    if impl == "dconcat":
+        # depth taps as channel groups of ONE conv: (kd,kh,kw,C,Co) ->
+        # (kh,kw,kd*C,Co) matching the concat order — a single MXU
+        # dispatch, no tensor adds between taps (same math: the channel
+        # contraction sums the taps)
+        kcat = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+            kh, kw, kd * C, -1
+        )
+        return jax.lax.conv_general_dilated(
+            jnp.concatenate(taps, axis=-1),
+            kcat,
+            window_strides=strides_hw,
+            padding=padding_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred_dtype,
+        )
+    out = None
+    for k in range(kd):
         y = jax.lax.conv_general_dilated(
-            xs,
+            taps[k],
             kernel[k],
             window_strides=strides_hw,
             padding=padding_hw,

@@ -160,7 +160,7 @@ def test_resolution_aware_remat_equivalence(rng, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("impl", ["native", "im2col"])
+@pytest.mark.parametrize("impl", ["native", "im2col", "dconcat"])
 @pytest.mark.parametrize("batch", [1, 3])
 def test_fold_tail_impls_match_taps(rng, impl, batch):
     x = jnp.asarray(rng.normal(size=(batch * 5, 8, 8, 4)), jnp.float32)
@@ -171,11 +171,12 @@ def test_fold_tail_impls_match_taps(rng, impl, batch):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_fold_tail_impl_native_strided(rng):
+@pytest.mark.parametrize("impl", ["native", "dconcat"])
+def test_fold_tail_impl_strided(rng, impl):
     x = jnp.asarray(rng.normal(size=(8, 8, 8, 4)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)) * 0.1, jnp.float32)
     ref = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl="taps")
-    got = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl="native")
+    got = conv3d_folded(x, k, 2, strides_hw=(2, 2), impl=impl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

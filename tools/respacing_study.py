@@ -52,6 +52,13 @@ def main():
                          "'ddpm1000,ddpm250,ddim50' (default: all)")
     ap.add_argument("--n_eval", type=int, default=2,
                     help="held-out eval volumes (flagship claims use >= 8)")
+    ap.add_argument("--eval_dir", type=str, default="",
+                    help="directory of 2-channel (low,high) TIFF volumes: "
+                         "eval patches are cut from these with the "
+                         "DATASET's /4 normalization (data/dataset.py) — "
+                         "the convention scripts/train.py checkpoints are "
+                         "trained under — instead of make_pair synthetics "
+                         "in [-1,1]")
     ap.add_argument("--n_draws", type=int, default=1,
                     help="independent x_T draws per eval volume; rows "
                          "report mean +- std over all volume x draw chains")
@@ -165,7 +172,7 @@ def main():
         sampler_state=None,
     )
     state = jax.device_put(state, jax.devices()[0])
-    ema_rate = min(0.999, 1.0 - 5.0 / args.train_steps)
+    ema_rate = min(0.999, 1.0 - 5.0 / max(args.train_steps, 1))
     # (the train step itself is built inside the training branch below —
     # eval-only runs must not construct one, e.g. under --int8)
 
@@ -242,9 +249,38 @@ def main():
             print(f"saved EMA params to {args.save_ckpt}", flush=True)
 
     # held-out volumes; MATCHED x_T per (volume, draw) across every setting
-    evals = [make_pair(np.random.default_rng(123 + i), shape)
-             for i in range(args.n_eval)]
-    lows = [jnp.asarray(scale(noisy))[None, ..., None]
+    if args.eval_dir:
+        # Real-pipeline eval patches: S^3 cut from 2-channel volumes at the
+        # fixed test grid positions, /4 normalized (the training convention
+        # of scripts/train.py checkpoints; reference image_datasets.py /4).
+        # Model in/out stay in /4 space — no [-1,1] remap on either side.
+        from ddpm3d_tpu.data import tiff_io
+
+        names = sorted(os.listdir(args.eval_dir))
+        vols = [tiff_io.imread(os.path.join(args.eval_dir, n))
+                for n in names]
+        xy = [52, 0, 104]
+        evals = []
+        for i in range(args.n_eval):
+            vol = vols[i % len(vols)]
+            _, Zv, Hv, Wv = vol.shape
+            j = i // len(vols)
+            x, y = xy[j % 3], xy[(j // 3) % 3]
+            z = 0 if (j // 9) % 2 == 0 else max(Zv - S, 0)
+            low = vol[0, z:z + S, x:x + S, y:y + S].astype(np.float32) / 4.0
+            high = vol[1, z:z + S, x:x + S, y:y + S].astype(np.float32) / 4.0
+            assert low.shape == shape, (low.shape, shape, names[i % len(vols)])
+            evals.append((low, high))
+        eval_scale = lambda v: v
+        unmap = lambda o: o
+        dr = float(max(c.max() for _, c in evals))
+    else:
+        evals = [make_pair(np.random.default_rng(123 + i), shape)
+                 for i in range(args.n_eval)]
+        eval_scale = scale
+        unmap = lambda o: (o + 1.0) / 2.0
+        dr = 1.0
+    lows = [jnp.asarray(eval_scale(noisy))[None, ..., None]
             for noisy, _ in evals]
     x_Ts = [
         [np.asarray(jax.random.normal(
@@ -304,7 +340,7 @@ def main():
             out = img
         else:
             out = jax.jit(run)(p, jax.random.key(7), low, jnp.asarray(x_T))
-        return np.clip((np.asarray(out)[0, ..., 0] + 1.0) / 2.0, 0, 1)
+        return np.clip(unmap(np.asarray(out)[0, ..., 0]), 0, dr)
 
     settings = []
     for n in (1000, 250, 100, 50, 25):
@@ -317,9 +353,9 @@ def main():
     ref_outs = [[None] * args.n_draws for _ in evals]
     rows = []
     p_noisy = float(np.mean(
-        [psnr(c, n, data_range=1.0) for n, c in evals]))
+        [psnr(c, n, data_range=dr) for n, c in evals]))
     s_noisy = float(np.mean(
-        [ssim(c, n, data_range=1.0) for n, c in evals]))
+        [ssim(c, n, data_range=dr) for n, c in evals]))
 
     def eval_setting(name, respace, sampler, params_override=None,
                      use_ts=None):
@@ -331,10 +367,10 @@ def main():
                              params_override=params_override, use_ts=use_ts)
                 if ref_outs[i][d] is None:
                     ref_outs[i][d] = out  # ddpm1000 is the reference output
-                pc.append(psnr(clean, out, data_range=1.0))
-                sc.append(ssim(clean, out, data_range=1.0))
-                pr.append(psnr(ref_outs[i][d], out, data_range=1.0))
-                sr.append(ssim(ref_outs[i][d], out, data_range=1.0))
+                pc.append(psnr(clean, out, data_range=dr))
+                sc.append(ssim(clean, out, data_range=dr))
+                pr.append(psnr(ref_outs[i][d], out, data_range=dr))
+                sr.append(ssim(ref_outs[i][d], out, data_range=dr))
         dt = time.time() - t0
         import re as _re
 
@@ -432,6 +468,12 @@ def main():
             "load_ckpt": args.load_ckpt or None,
             "n_eval": args.n_eval,
             "n_draws": args.n_draws,
+            "eval_dir": args.eval_dir or None,
+            "eval_normalization": (
+                "dataset /4 (scripts/train.py convention)"
+                if args.eval_dir else "make_pair [0,1] -> [-1,1]"
+            ),
+            "data_range": dr,
             "platform": jax.default_backend(),
             "diffusion": (
                 "1000-step linear, "
