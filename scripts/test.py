@@ -34,6 +34,19 @@ def main():
         os.environ["DDPM3D_INT8"] = "1"
         if args.int8_scales:
             os.environ["DDPM3D_INT8_SCALES"] = args.int8_scales
+        if args.use_ddim:
+            # Deterministic chains integrate the signed quantization error
+            # coherently: ddim25 under int8 measured 31.7 dB vs 47.2 bf16
+            # at production shape (RESPACING_PROD_R4_INT8.json). Ancestral
+            # respacing absorbs it (<=1.2 dB) because per-step noise
+            # decorrelates the bias. Same guard family as the classifier-
+            # guidance refusal in ops/quant.py.
+            raise SystemExit(
+                "--int8 with --use_ddim is refused: deterministic DDIM "
+                "chains collapse under the quantized torso (measured "
+                "31.7 dB vs 47.2 bf16 at 25 steps). Use ancestral "
+                "respacing (--timestep_respacing 250/25) or drop --int8."
+            )
     if args.platform:
         # JAX_PLATFORMS env cannot override the environment's preset
         # platform (sitecustomize pre-imports jax); the config API wins.

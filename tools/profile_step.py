@@ -96,9 +96,10 @@ def main():
 
 
 def hlo_category_maps(hlo: str):
-    """Map %fused_computation.N -> category by body contents, and
-    %fusion.N -> its computation via `calls=`."""
+    """Map %fused_computation.N -> category by body contents,
+    %fusion.N -> its computation via `calls=`, and op -> source metadata."""
     comp_cat = {}
+    comp_meta = {}  # computation -> op_name metadata of its heaviest inner op
     cur = None
     body = []
     for ln in hlo.splitlines():
@@ -118,20 +119,38 @@ def hlo_category_maps(hlo: str):
                 else:
                     c = "elementwise/copy"
                 comp_cat[cur] = c
+                # source attribution: prefer the conv/dot/reduce line's
+                # op_name metadata (the fusion root is often a nameless
+                # convert); fall back to the first op_name in the body
+                meta = None
+                for pat in (r"(?:convolution|dot)\([^\n]*?op_name=\"([^\"]+)\"",
+                            r"reduce\([^\n]*?op_name=\"([^\"]+)\"",
+                            r"op_name=\"([^\"]+)\""):
+                    mm = re.search(pat, text)
+                    if mm:
+                        meta = mm.group(1)
+                        break
+                comp_meta[cur] = meta
                 cur = None
     op_comp = {}  # %fusion.N -> computation name
     for m in re.finditer(
         r"%?([\w\.\-]+)\s*=\s*[^=]*fusion\([^\n]*calls=%?([\w\.\-]+)", hlo
     ):
         op_comp[m.group(1)] = m.group(2)
-    return comp_cat, op_comp
+    # direct (non-fusion) entry ops: map op -> its own metadata
+    op_meta = {}
+    for m in re.finditer(
+        r"%?([\w\.\-]+)\s*=\s*[^\n]*?op_name=\"([^\"]+)\"", hlo
+    ):
+        op_meta.setdefault(m.group(1), m.group(2))
+    return comp_cat, op_comp, comp_meta, op_meta
 
 
 def profile_and_report(hlo: str, run_once, steps: int, top: int = 30):
     """Trace ``run_once`` (which must force a readback), aggregate the
     device plane's exclusive op times by HLO category, print the report.
     Returns (total_ms, per_category dict)."""
-    comp_cat, op_comp = hlo_category_maps(hlo)
+    comp_cat, op_comp, comp_meta, op_meta = hlo_category_maps(hlo)
 
     d = tempfile.mkdtemp(prefix="ddpm3d_prof_")
     jax.profiler.start_trace(d)
@@ -142,6 +161,7 @@ def profile_and_report(hlo: str, run_once, steps: int, top: int = 30):
     pd = jax.profiler.ProfileData.from_file(path)
     cat = collections.Counter()
     ops = collections.Counter()
+    op_src = {}  # (category, collapsed name) -> (dur, source op_name)
     total = 0.0
     for plane in pd.planes:
         if not plane.name.startswith("/device:TPU"):
@@ -167,6 +187,15 @@ def profile_and_report(hlo: str, run_once, steps: int, top: int = 30):
                     else re.sub(r"\.\d+", "", ev.name)[:140]
                 )
                 ops[(c, key_name)] += dur
+                if nm in op_comp:
+                    meta = comp_meta.get(op_comp[nm])
+                else:
+                    meta = op_meta.get(nm)
+                if meta:
+                    prev = op_src.get((c, key_name))
+                    # attribute the collapsed key to its heaviest instance
+                    if prev is None or dur > prev[0]:
+                        op_src[(c, key_name)] = (dur, meta)
                 total += dur
     print(f"trace: {path}")
     print(f"device total (exclusive ops): {total:.1f} ms over {steps} steps "
@@ -177,6 +206,9 @@ def profile_and_report(hlo: str, run_once, steps: int, top: int = 30):
     print(f"\n== top {top} ops ==")
     for (c, k), v in ops.most_common(top):
         print(f"  {v/steps:8.3f} ms/step [{c:16s}] {k}")
+        src = op_src.get((c, k))
+        if src:
+            print(f"           src: {src[1][-130:]}")
     return total, dict(cat)
 
 
