@@ -193,10 +193,18 @@ def main():
             int8_per_step_dev = d8 / steps_measured if d8 else None
             # static-activation-scale serving mode (tools/calibrate_int8.py;
             # the dynamic abs-max reductions become trace-time constants —
-            # 91.6 vs 100.3 ms/step measured r3). `const:` applies one scale
-            # everywhere: timing-identical to a calibrated file, and the
-            # bench only reads the clock, never the values.
-            os.environ["DDPM3D_INT8_SCALES"] = "const:0.05"
+            # 91.6 vs 100.3 ms/step measured r3). Use the committed
+            # calibrated production scales when present (the exact serving
+            # artifact, quality-validated in RESPACING_PROD_R4_INT8.json);
+            # `const:` is timing-identical — per-site file scales are also
+            # trace-time constants — and the fallback for other configs.
+            scales_file = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "INT8_SCALES_PROD.json",
+            )
+            os.environ["DDPM3D_INT8_SCALES"] = (
+                scales_file if os.path.exists(scales_file) else "const:0.05"
+            )
             jitted8s = jax.jit(lambda p, k, l: run(p, k, l))
             float(jnp.sum(jitted8s(params, key, low)))
             d8s = measure_device_ms(

@@ -232,15 +232,17 @@ def conv3d_folded_sim(
 
 
 def int8_impl() -> str:
-    """Depth-tap lowering for the int8 convs: ``taps`` (one int8 conv2d
-    per depth tap, int32 tensor adds between them) or ``concat``
-    (``DDPM3D_INT8_IMPL=concat``: the kd depth-shifted int8 slices are
-    concatenated on the channel axis and convolved ONCE with the
-    (kh,kw,kd*C,Cout)-reshaped kernel). Same math — the channel-axis
-    contraction sums the taps inside the MXU — but ``concat`` emits a
-    single conv and no int32 adds; the extra cost is materialising the
-    kd*C int8 concat (1.5x the bf16 activation bytes at kd=3)."""
-    return os.environ.get("DDPM3D_INT8_IMPL", "taps").lower()
+    """Depth-tap lowering for the int8 convs: ``concat`` (default: the kd
+    depth-shifted int8 slices are concatenated on the channel axis and
+    convolved ONCE with the (kh,kw,kd*C,Cout)-reshaped kernel) or
+    ``DDPM3D_INT8_IMPL=taps`` (one int8 conv2d per depth tap, int32
+    tensor adds between them). Same math — the channel-axis contraction
+    sums the taps inside the MXU — but ``concat`` emits a single conv and
+    no int32 adds; the extra cost is materialising the kd*C int8 concat
+    (1.5x the bf16 activation bytes at kd=3). Measured on-chip at the
+    flagship int8-static step (round 4): concat 88.4 vs taps 91.6
+    ms/step, so concat is the default."""
+    return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 
 def conv3d_folded_int8(

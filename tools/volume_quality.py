@@ -142,6 +142,32 @@ def main():
 
     results = {"noisy_input": agg(noisy_rows)}
 
+    def flush(partial):
+        # incremental write: a killed run (driver round boundary, watchdog)
+        # keeps every fully-scored volume; reruns resume from the denoised
+        # tifs already on disk
+        payload = {
+            "protocol": {
+                "argv": sys.argv,
+                "model_path": args.model_path,
+                "int8_scales": args.int8_scales or None,
+                "volume_shape_zxy": list(shape),
+                "data_range": dr,
+                "patch_size": args.patch_size,
+                "blend": args.blend,
+                "normalize_div4": True,
+                "seam_voxels": int(seam.sum()),
+                "interior_voxels": int(interior.sum()),
+                "pipeline": "scripts/test.py subprocess per (volume, config)",
+                "partial": partial,
+            },
+            "results": results,
+        }
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, args.out)
+
     wall_re = re.compile(r"sampling ([0-9.]+)s wall")
 
     for spec in args.configs.split(","):
@@ -163,6 +189,23 @@ def main():
         os.makedirs(cfg_dir, exist_ok=True)
         rows, walls = [], []
         for n, lo, _ in pairs[:n_vols]:
+            out_tif = osp.join(
+                cfg_dir, osp.splitext(n)[0],
+                f"denoised_{osp.splitext(n)[0]}.tif",
+            )
+            if osp.exists(out_tif):
+                out = tiff_io.imread(out_tif)
+                assert out.shape == shape, (out.shape, shape)
+                rows.append(vol_metrics(out, cleans[n]))
+                results[spec] = agg(rows, extra={
+                    "sampling_wall_s_mean": (
+                        round(float(np.mean(walls)), 1) if walls else None
+                    ),
+                })
+                flush(partial=True)
+                print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB "
+                      f"(resumed from disk)", flush=True)
+                continue
             cmd = [
                 sys.executable, TEST_PY,
                 "--base_samples", lo,
@@ -204,38 +247,18 @@ def main():
                 raise RuntimeError(f"{spec} on {n} failed")
             mw = wall_re.search(proc.stdout + proc.stderr)
             walls.append(float(mw.group(1)) if mw else wall)
-            out_tif = osp.join(
-                cfg_dir, osp.splitext(n)[0],
-                f"denoised_{osp.splitext(n)[0]}.tif",
-            )
             out = tiff_io.imread(out_tif)
             assert out.shape == shape, (out.shape, shape)
             rows.append(vol_metrics(out, cleans[n]))
+            results[spec] = agg(rows, extra={
+                "sampling_wall_s_mean": round(float(np.mean(walls)), 1),
+            })
+            flush(partial=True)
             print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB "
                   f"(sampling {walls[-1]:.0f}s)", flush=True)
-        results[spec] = agg(rows, extra={
-            "sampling_wall_s_mean": round(float(np.mean(walls)), 1),
-        })
         print(f"== {spec}: {json.dumps(results[spec])}", flush=True)
 
-    payload = {
-        "protocol": {
-            "argv": sys.argv,
-            "model_path": args.model_path,
-            "int8_scales": args.int8_scales or None,
-            "volume_shape_zxy": list(shape),
-            "data_range": dr,
-            "patch_size": args.patch_size,
-            "blend": args.blend,
-            "normalize_div4": True,
-            "seam_voxels": int(seam.sum()),
-            "interior_voxels": int(interior.sum()),
-            "pipeline": "scripts/test.py subprocess per (volume, config)",
-        },
-        "results": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=1)
+    flush(partial=False)
     print(f"wrote {args.out}")
 
 
