@@ -313,13 +313,21 @@ class Conv3DFolded(fnn.Module):
         if qmode != "off":
             from .quant import conv3d_folded_int8, conv3d_folded_sim
 
-            qconv = conv3d_folded_sim if qmode == "sim" else conv3d_folded_int8
-            y = qconv(
-                x.astype(dtype), kernel, self.batch,
-                strides_hw=(sh, sw),
-                padding_hw=None if pad is None else tuple(pad)[1:],
-                act_scale=act_scale,
-            )
+            if qmode == "sim":
+                y = conv3d_folded_sim(
+                    x.astype(dtype), kernel, self.batch,
+                    strides_hw=(sh, sw),
+                    padding_hw=None if pad is None else tuple(pad)[1:],
+                    act_scale=act_scale,
+                )
+            else:
+                y = conv3d_folded_int8(
+                    x.astype(dtype), kernel, self.batch,
+                    strides_hw=(sh, sw),
+                    padding_hw=None if pad is None else tuple(pad)[1:],
+                    act_scale=act_scale,
+                    path=path,
+                )
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y

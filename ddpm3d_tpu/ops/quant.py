@@ -245,6 +245,24 @@ def int8_impl() -> str:
     return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 
+def int8_impl_for(path: Optional[str]) -> str:
+    """Per-site lowering choice: ``DDPM3D_INT8_TAPS_SITES`` (comma-
+    separated substrings) forces the ``taps`` lowering at matching module
+    paths while the global default (``concat``) serves the rest. Measured
+    motivation (round-4 trace, flagship int8-static): concat wins the
+    step (88.4 vs 91.6 ms) but LOSES 7 ms on the widest skip-concat
+    decoder conv (out13_0/in_conv: 17.4 ms concat vs 10.4 taps — its
+    kd*C=768-channel int8 concat materialisation dominates at 96^3), so
+    a mixed schedule is the fastest known configuration."""
+    sites = [
+        s for s in os.environ.get("DDPM3D_INT8_TAPS_SITES", "").split(",")
+        if s
+    ]
+    if path and any(s in path for s in sites):
+        return "taps"
+    return int8_impl()
+
+
 def conv3d_folded_int8(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -252,6 +270,7 @@ def conv3d_folded_int8(
     strides_hw: Tuple[int, int] = (1, 1),
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
     act_scale: Optional[float] = None,
+    path: Optional[str] = None,
 ) -> jnp.ndarray:
     """W8A8 variant of ops/conv3d.py:conv3d_folded (shifted-tap lowering).
 
@@ -260,9 +279,10 @@ def conv3d_folded_int8(
     mask (exact in int8 — symmetric quantization has no zero point), each
     tap an NHWC int8 conv2d accumulating int32, summed in int32, then one
     dequantize by ``s_x * s_w[c]``. Output dtype follows ``x``.
-    Under ``DDPM3D_INT8_IMPL=concat`` the taps instead become channel
+    Under the default ``concat`` impl the taps instead become channel
     groups of ONE int8 conv (see :func:`int8_impl`) — bit-identical
-    output, different schedule.
+    output, different schedule; ``path`` lets DDPM3D_INT8_TAPS_SITES
+    force taps per site (:func:`int8_impl_for`).
 
     ``act_scale``: calibrated static activation scale (no abs-max reduce).
     """
@@ -288,7 +308,7 @@ def conv3d_folded_int8(
             mask = jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
             xs = xs * mask
         taps.append(xs)
-    if int8_impl() == "concat":
+    if int8_impl_for(path) == "concat":
         # (kd,kh,kw,C,Cout) -> (kh,kw,kd*C,Cout), matching the tap order
         # of the channel concat.
         kcat = jnp.transpose(kq, (1, 2, 0, 3, 4)).reshape(

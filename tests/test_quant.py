@@ -137,10 +137,28 @@ class TestConvInt8:
         D, H, W, C, Co = 5, 8, 8, 8, 16
         x = jax.random.normal(kx, (batch * D, H, W, C), jnp.float32)
         k = jax.random.normal(kk, (3, 3, 3, C, Co), jnp.float32) * 0.1
-        monkeypatch.delenv("DDPM3D_INT8_IMPL", raising=False)
+        monkeypatch.setenv("DDPM3D_INT8_IMPL", "taps")
         ref = conv3d_folded_int8(x, k, batch, strides_hw=strides)
         monkeypatch.setenv("DDPM3D_INT8_IMPL", "concat")
         out = conv3d_folded_int8(x, k, batch, strides_hw=strides)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_per_site_taps_override(self, monkeypatch):
+        """DDPM3D_INT8_TAPS_SITES forces the taps lowering at matching
+        module paths, bit-identical to the global concat default (the two
+        lowerings sum the same int32 products)."""
+        from ddpm3d_tpu.ops.quant import int8_impl_for
+
+        kx, kk = jax.random.split(jax.random.key(8))
+        x = jax.random.normal(kx, (5, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 8, 16), jnp.float32) * 0.1
+        monkeypatch.delenv("DDPM3D_INT8_IMPL", raising=False)
+        monkeypatch.setenv("DDPM3D_INT8_TAPS_SITES", "out13_0/in_conv")
+        assert int8_impl_for("unet/out13_0/in_conv") == "taps"
+        assert int8_impl_for("unet/out12_0/in_conv") == "concat"
+        assert int8_impl_for(None) == "concat"
+        ref = conv3d_folded_int8(x, k, 1)
+        out = conv3d_folded_int8(x, k, 1, path="unet/out13_0/in_conv")
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
     def test_offgrid_error_bound(self):
