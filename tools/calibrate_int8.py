@@ -77,6 +77,15 @@ def main():
                          ">1 trades resolution for saturation safety on "
                          "volumes outside the calibration set")
     ap.add_argument("--platform", type=str, default="")
+    ap.add_argument("--sampler", type=str, default="ddpm",
+                    choices=["ddpm", "ddim"],
+                    help="chain whose activations are calibrated. Scales "
+                    "are TRAJECTORY-SPECIFIC: ancestral-calibrated scales "
+                    "collapse DDIM chains (31.7 dB vs 47.2 bf16, "
+                    "RESPACING_PROD_R4_INT8.json) because the "
+                    "deterministic trajectory exits the calibrated "
+                    "activation ranges late in the chain — calibrate on "
+                    "the sampler you serve")
     ap.add_argument("--out", type=str, default="/tmp/int8_scales.json")
     args = ap.parse_args()
     assert args.load_ckpt or args.allow_random, (
@@ -97,8 +106,8 @@ def main():
 
     from ddpm3d_tpu.diffusion import (
         DiffusionConfig, LossType, MeanType, VarType,
-        linear_beta_schedule, make_schedule, make_spaced_schedule,
-        p_sample, space_timesteps,
+        ddim_sample, linear_beta_schedule, make_schedule,
+        make_spaced_schedule, p_sample, space_timesteps,
     )
     from ddpm3d_tpu.models import SuperResModel
     from ddpm3d_tpu.utils import checkpoint as ckpt_io
@@ -168,9 +177,15 @@ def main():
             cap["m"] = muts["quant_calib"]
             return out
 
-        res = p_sample(
-            key, model_fn, sp, cfg, x, t, model_kwargs={"low_res": low}
-        )
+        if args.sampler == "ddim":
+            res = ddim_sample(
+                key, model_fn, sp, cfg, x, t, eta=0.0,
+                model_kwargs={"low_res": low},
+            )
+        else:
+            res = p_sample(
+                key, model_fn, sp, cfg, x, t, model_kwargs={"low_res": low}
+            )
         return res["sample"], cap["m"]
 
     jstep = jax.jit(chain_step)
@@ -207,6 +222,7 @@ def main():
     out = {
         "scales": scales,
         "meta": {
+            "sampler": args.sampler,
             "respacing": args.respacing,
             "margin": args.margin,
             "n_volumes": args.n_volumes,
