@@ -248,14 +248,24 @@ def int8_impl() -> str:
 def int8_impl_for(path: Optional[str]) -> str:
     """Per-site lowering choice: ``DDPM3D_INT8_TAPS_SITES`` (comma-
     separated substrings) forces the ``taps`` lowering at matching module
-    paths while the global default (``concat``) serves the rest. Measured
-    motivation (round-4 trace, flagship int8-static): concat wins the
-    step (88.4 vs 91.6 ms) but LOSES 7 ms on the widest skip-concat
-    decoder conv (out13_0/in_conv: 17.4 ms concat vs 10.4 taps — its
-    kd*C=768-channel int8 concat materialisation dominates at 96^3), so
-    a mixed schedule is the fastest known configuration."""
+    paths while the global default (``concat``) serves the rest. Both
+    lowerings are bit-identical (same int32 accumulation, different
+    schedule), so this is purely a tuning knob. Default sites: the
+    flagship's widest skip-concat decoder conv (``out13_0/in_conv``,
+    kd*C=768-channel concat materialisation at 96^3), where an A/B on
+    the real chip measured the whole int8-static step at 87.4 ms with
+    taps there vs 88.1 all-concat. NOTE the per-op trace projected a
+    bigger win (~7 ms: 17.4 concat vs 10.4 taps on that site) that does
+    NOT materialise at step level — the collapsed-name per-op
+    attribution double-counts sibling fusions, so per-op deltas are
+    upper bounds; trust whole-step A/Bs. Adding ``in1_0/in_conv``
+    measured 87.9 — worse — so the single-site default stands. Set the
+    env to the empty string to force all-concat, or to a comma list to
+    tune other models/shapes."""
     sites = [
-        s for s in os.environ.get("DDPM3D_INT8_TAPS_SITES", "").split(",")
+        s for s in os.environ.get(
+            "DDPM3D_INT8_TAPS_SITES", "out13_0/in_conv"
+        ).split(",")
         if s
     ]
     if path and any(s in path for s in sites):
