@@ -161,6 +161,28 @@ class TestConvInt8:
         out = conv3d_folded_int8(x, k, 1, path="unet/out13_0/in_conv")
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_default_sites_mix(self, monkeypatch):
+        """With the env UNSET the flagship-tuned default applies (taps at
+        out13_0/in_conv — A/B measured 87.4 vs 88.1 ms/step on-chip, see
+        int8_impl_for); explicit empty string opts out to all-concat; the
+        mixed default is bit-identical to all-concat end to end."""
+        from ddpm3d_tpu.ops.quant import int8_impl_for
+
+        monkeypatch.delenv("DDPM3D_INT8_TAPS_SITES", raising=False)
+        monkeypatch.delenv("DDPM3D_INT8_IMPL", raising=False)
+        assert int8_impl_for("unet/out13_0/in_conv") == "taps"
+        assert int8_impl_for("unet/out12_0/in_conv") == "concat"
+        monkeypatch.setenv("DDPM3D_INT8_TAPS_SITES", "")
+        assert int8_impl_for("unet/out13_0/in_conv") == "concat"
+        monkeypatch.delenv("DDPM3D_INT8_TAPS_SITES", raising=False)
+        kx, kk = jax.random.split(jax.random.key(11))
+        x = jax.random.normal(kx, (5, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 8, 16), jnp.float32) * 0.1
+        mixed = conv3d_folded_int8(x, k, 1, path="unet/out13_0/in_conv")
+        monkeypatch.setenv("DDPM3D_INT8_TAPS_SITES", "")
+        concat = conv3d_folded_int8(x, k, 1, path="unet/out13_0/in_conv")
+        np.testing.assert_array_equal(np.asarray(mixed), np.asarray(concat))
+
     def test_offgrid_error_bound(self):
         """Random (off-grid) data: quantization noise stays ~sub-percent in
         the Frobenius norm (127 levels -> ~0.45% rms per operand)."""
