@@ -197,6 +197,15 @@ def main():
                 out = tiff_io.imread(out_tif)
                 assert out.shape == shape, (out.shape, shape)
                 rows.append(vol_metrics(out, cleans[n]))
+                # the original run's wall time survives in the CLI's own
+                # log.txt next to the tif — recover it so resumed rows
+                # keep their tool-emitted timing instead of nulling it
+                logf = osp.join(osp.dirname(out_tif), "log.txt")
+                if osp.exists(logf):
+                    with open(logf) as f:
+                        mw = wall_re.search(f.read())
+                    if mw:
+                        walls.append(float(mw.group(1)))
                 results[spec] = agg(rows, extra={
                     "sampling_wall_s_mean": (
                         round(float(np.mean(walls)), 1) if walls else None
