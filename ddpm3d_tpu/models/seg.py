@@ -28,7 +28,9 @@ from flax import linen as fnn
 
 from . import nn as prim
 from .plan import ResSpec, plan_unet
-from .unet import EncoderUNetModel, ResBlock, _apply_stage, _build_stage
+from .unet import (
+    EncoderUNetModel, ResBlock, _apply_stage, _build_stage, _fold_enabled,
+)
 
 
 class SegUNetModel(fnn.Module):
@@ -86,6 +88,18 @@ class SegUNetModel(fnn.Module):
                 else ResBlock
             ),
         )
+        # network-wide B*D folding (unet.py:_fold_enabled): both branches
+        # run 4-D [(B*D), H, W, C] — the encoder folds internally and
+        # returns public 5-D features, which we refold (free reshapes).
+        # Folding is what routes every conv through Conv3DFolded and hence
+        # the int8 serving path; the 5-D convs have no int8 gate.
+        fold_batch = None
+        if self.dims == 3 and x.ndim == 5 and _fold_enabled():
+            fold_batch = x.shape[0]
+        cfg["fold_batch"] = fold_batch
+
+        def _refold(t):
+            return prim.fold_bd(t) if fold_batch is not None else t
 
         encoder = EncoderUNetModel(
             in_channels=self.cond_channels,
@@ -118,26 +132,27 @@ class SegUNetModel(fnn.Module):
         h = jnp.concatenate([x, low_res.astype(x.dtype)], axis=-1).astype(
             self.dtype
         )
+        h = _refold(h)
         hs = []
         for i, stage in enumerate(plan.input_blocks):
             mods = _build_stage(self, f"in{i}", stage, cfg)
             h, _ = _apply_stage(mods, h, emb, train)
             if self.fusion == "add":
-                h = h + enc_feats[i].astype(h.dtype)
+                h = h + _refold(enc_feats[i]).astype(h.dtype)
             elif self.fusion == "cat_conv":
                 fused = jnp.concatenate(
-                    [h, enc_feats[i].astype(h.dtype)], axis=-1
+                    [h, _refold(enc_feats[i]).astype(h.dtype)], axis=-1
                 )
                 h = prim.conv_nd(
                     self.dims, h.shape[-1], 1, dtype=self.dtype,
-                    name=f"fuse{i}",
+                    name=f"fuse{i}", fold_batch=fold_batch,
                 )(fused)
             hs.append(h)
 
         if self.fusion == "midcat":
             # concat the encoder's final feature; the first middle ResBlock
             # therefore takes 2x channels (unet.py:1195-1220, 1902-1903)
-            h = jnp.concatenate([h, enc_final.astype(h.dtype)], axis=-1)
+            h = jnp.concatenate([h, _refold(enc_final).astype(h.dtype)], axis=-1)
             ch = plan.middle_block[0].out_ch
             mid_plan = (ResSpec(2 * ch, ch),) + plan.middle_block[1:]
         else:
@@ -150,11 +165,15 @@ class SegUNetModel(fnn.Module):
             h, _ = _apply_stage(mods, h, emb, train)
 
         h = h.astype(x.dtype)
-        h = prim.GroupNorm32(name="head_norm")(h)
+        h = prim.GroupNorm32(name="head_norm")(h, fold_batch=fold_batch)
         h = prim.silu(h)
-        return prim.conv_nd(
-            self.dims, plan.out_channels, 3, zero_init=True, name="head_conv"
+        h = prim.conv_nd(
+            self.dims, plan.out_channels, 3, zero_init=True, name="head_conv",
+            fold_batch=fold_batch,
         )(h)
+        if fold_batch is not None:
+            h = prim.unfold_bd(h, fold_batch)
+        return h
 
 
 def SegModelv2(**kw):

@@ -765,13 +765,35 @@ class EncoderUNetModel(fnn.Module):
     ):
         plan = self.plan()
         cfg = self._cfg()
+        # network-wide B*D folding, same entry as UNetModel.__call__: the
+        # whole encoder torso runs on 4-D [(B*D), H, W, C] activations
+        # (depth is never downsampled — the (1,2,2) pyramid — so
+        # fold_batch is constant through every stage). This is also what
+        # routes the encoder's convs through Conv3DFolded and therefore
+        # the int8 serving path; the unfolded 5-D convs have no int8 gate.
+        fold_batch = None
+        if self.dims == 3 and x.ndim == 5 and _fold_enabled():
+            fold_batch = x.shape[0]
+        cfg["fold_batch"] = fold_batch
+
         emb = prim.timestep_embedding(timesteps, self.model_channels)
         emb = prim.dense(4 * self.model_channels, name="time_embed_0")(emb)
         emb = prim.silu(emb)
         emb = prim.dense(4 * self.model_channels, name="time_embed_2")(emb)
 
         spatial_axes = tuple(range(1, self.dims + 1))
+
+        def _spatial_mean(t):
+            # mean over (D,)H,W — on the folded layout: H,W first, then the
+            # depth rows (exact: every voxel weighted equally)
+            if fold_batch is None:
+                return t.astype(x.dtype).mean(axis=spatial_axes)
+            tm = t.astype(x.dtype).mean(axis=(1, 2))  # [(B*D), C]
+            return tm.reshape(fold_batch, -1, tm.shape[-1]).mean(axis=1)
+
         h = x.astype(self.dtype)
+        if fold_batch is not None:
+            h = prim.fold_bd(h)
         results = []
         features = []
         for i, stage in enumerate(plan.input_blocks):
@@ -779,14 +801,20 @@ class EncoderUNetModel(fnn.Module):
             h, _ = _apply_stage(mods, h, emb, train)
             features.append(h)
             if self.pool.startswith("spatial"):
-                results.append(h.astype(x.dtype).mean(axis=spatial_axes))
+                results.append(_spatial_mean(h))
         if self.include_middle:
             h, _ = _apply_stage(
                 _build_stage(self, "mid", plan.middle_block, cfg), h, emb, train
             )
             if self.pool.startswith("spatial"):
-                results.append(h.astype(x.dtype).mean(axis=spatial_axes))
+                results.append(_spatial_mean(h))
         if return_features:
+            # public layout is 5-D regardless of the internal fold (the
+            # unfold is a free reshape; folded consumers — SegUNetModel —
+            # refold, also free)
+            if fold_batch is not None:
+                features = [prim.unfold_bd(f, fold_batch) for f in features]
+                h = prim.unfold_bd(h, fold_batch)
             return features, h
 
         if self.pool.startswith("spatial"):
@@ -799,8 +827,11 @@ class EncoderUNetModel(fnn.Module):
                 h = jax.nn.relu(h)
             return prim.dense(self.out_channels, name="sp_fc2")(h)
         h = h.astype(x.dtype)
-        h = prim.GroupNorm32(name="head_norm")(h)
+        h = prim.GroupNorm32(name="head_norm")(h, fold_batch=fold_batch)
         h = prim.silu(h)
+        if fold_batch is not None:
+            # pooling heads reduce over depth too — back to 5-D (free)
+            h = prim.unfold_bd(h, fold_batch)
         if self.pool == "adaptive":
             h = h.mean(axis=spatial_axes, keepdims=True)
             h = prim.conv_nd(

@@ -197,3 +197,76 @@ def test_fold_tails_env_dispatch(rng, monkeypatch):
         np.asarray(conv3d_folded(x, k, 2, strides_hw=(2, 2))),
         np.asarray(ref_s), rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("fusion", ["add", "cat_conv", "midcat"])
+def test_seg_folded_equals_5d(rng, monkeypatch, fusion):
+    """The Seg family folds both branches (round 4: previously it ran the
+    5-D path only, which silently bypassed the int8 serving gate)."""
+    from ddpm3d_tpu.models.seg import SegUNetModel
+
+    model = SegUNetModel(
+        in_channels=1, cond_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, use_scale_shift_norm=True, resblock_updown=True,
+        fusion=fusion,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 1)), jnp.float32)
+    low = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 1)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    monkeypatch.setenv("DDPM3D_FOLD", "0")
+    params = model.init(jax.random.key(0), x, t, low_res=low)
+    o5 = np.asarray(model.apply(params, x, t, low_res=low))
+    monkeypatch.setenv("DDPM3D_FOLD", "1")
+    params_f = model.init(jax.random.key(0), x, t, low_res=low)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_f,
+    )
+    o4 = np.asarray(model.apply(params, x, t, low_res=low))
+    assert o4.shape == o5.shape == (2, 4, 16, 16, 2)
+    np.testing.assert_allclose(o4, o5, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "spatial", "spatial_v2"])
+def test_encoder_folded_equals_5d(rng, monkeypatch, pool):
+    from ddpm3d_tpu.models import EncoderUNetModel
+
+    model = EncoderUNetModel(
+        in_channels=1, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), dims=3,
+        use_scale_shift_norm=True, resblock_updown=True, pool=pool,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 1)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    monkeypatch.setenv("DDPM3D_FOLD", "0")
+    params = model.init(jax.random.key(0), x, t)
+    o5 = np.asarray(model.apply(params, x, t))
+    monkeypatch.setenv("DDPM3D_FOLD", "1")
+    params_f = model.init(jax.random.key(0), x, t)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_f,
+    )
+    o4 = np.asarray(model.apply(params, x, t))
+    assert o4.shape == o5.shape
+    np.testing.assert_allclose(o4, o5, rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_folded_features_are_5d(rng, monkeypatch):
+    """return_features keeps the public 5-D layout under the fold."""
+    from ddpm3d_tpu.models import EncoderUNetModel
+
+    model = EncoderUNetModel(
+        in_channels=1, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), dims=3,
+        include_middle=False,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 1)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    monkeypatch.setenv("DDPM3D_FOLD", "1")
+    params = model.init(jax.random.key(0), x, t)
+    feats, final = model.apply(params, x, t, return_features=True)
+    for f in feats:
+        assert f.ndim == 5 and f.shape[0] == 2 and f.shape[1] == 4, f.shape
+    assert final.ndim == 5 and final.shape[:2] == (2, 4)
