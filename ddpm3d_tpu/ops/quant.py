@@ -234,34 +234,46 @@ def conv3d_folded_sim(
 def int8_impl() -> str:
     """Depth-tap lowering for the int8 convs: ``concat`` (default: the kd
     depth-shifted int8 slices are concatenated on the channel axis and
-    convolved ONCE with the (kh,kw,kd*C,Cout)-reshaped kernel) or
+    convolved ONCE with the (kh,kw,kd*C,Cout)-reshaped kernel),
     ``DDPM3D_INT8_IMPL=taps`` (one int8 conv2d per depth tap, int32
-    tensor adds between them). Same math — the channel-axis contraction
-    sums the taps inside the MXU — but ``concat`` emits a single conv and
-    no int32 adds; the extra cost is materialising the kd*C int8 concat
-    (1.5x the bf16 activation bytes at kd=3). Measured on-chip at the
-    flagship int8-static step (round 4): concat 88.4 vs taps 91.6
-    ms/step, so concat is the default."""
+    tensor adds between them), or ``DDPM3D_INT8_IMPL=native`` (un-fold to
+    (B,D,H,W,C) and run ONE 5-D NDHWC s8 conv — the conv's batch axis
+    prevents depth crossings with no masks, no shifted copies, and no
+    concat materialisation). All three are bit-identical — one int32
+    accumulation over the same products — but schedule differently.
+    Measured on-chip at the flagship int8-static step (round 4): concat
+    88.4 vs taps 91.6 ms/step, so concat is the global default; the
+    microbenchmark sweep (tools/profile_int8_sweep.py) puts native
+    between them at 96^3 conv-only but it skips the tap-building
+    elementwise entirely, so per-site whole-step A/Bs decide."""
     return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 
 def int8_impl_for(path: Optional[str]) -> str:
-    """Per-site lowering choice: ``DDPM3D_INT8_TAPS_SITES`` (comma-
-    separated substrings) forces the ``taps`` lowering at matching module
-    paths while the global default (``concat``) serves the rest. Both
-    lowerings are bit-identical (same int32 accumulation, different
-    schedule), so this is purely a tuning knob. Default sites: the
-    flagship's widest skip-concat decoder conv (``out13_0/in_conv``,
-    kd*C=768-channel concat materialisation at 96^3), where an A/B on
-    the real chip measured the whole int8-static step at 87.4 ms with
-    taps there vs 88.1 all-concat. NOTE the per-op trace projected a
-    bigger win (~7 ms: 17.4 concat vs 10.4 taps on that site) that does
-    NOT materialise at step level — the collapsed-name per-op
-    attribution double-counts sibling fusions, so per-op deltas are
-    upper bounds; trust whole-step A/Bs. Adding ``in1_0/in_conv``
-    measured 87.9 — worse — so the single-site default stands. Set the
-    env to the empty string to force all-concat, or to a comma list to
-    tune other models/shapes."""
+    """Per-site lowering choice: ``DDPM3D_INT8_NATIVE_SITES`` (checked
+    first) and ``DDPM3D_INT8_TAPS_SITES`` (comma-separated substrings)
+    force the ``native`` / ``taps`` lowering at matching module paths
+    while the global default (``concat``) serves the rest. All lowerings
+    are bit-identical (same int32 accumulation, different schedule), so
+    this is purely a tuning knob. Default sites: the flagship's widest
+    skip-concat decoder conv (``out13_0/in_conv``, kd*C=768-channel
+    concat materialisation at 96^3), where an A/B on the real chip
+    measured the whole int8-static step at 87.4 ms with taps there vs
+    88.1 all-concat. NOTE the per-op trace projected a bigger win (~7 ms:
+    17.4 concat vs 10.4 taps on that site) that does NOT materialise at
+    step level — the collapsed-name per-op attribution double-counts
+    sibling fusions, so per-op deltas are upper bounds; trust whole-step
+    A/Bs. Adding ``in1_0/in_conv`` measured 87.9 — worse — so the
+    single-site default stands. Set the env to the empty string to force
+    all-concat, or to a comma list to tune other models/shapes."""
+    if path:
+        native_sites = [
+            s for s in os.environ.get(
+                "DDPM3D_INT8_NATIVE_SITES", ""
+            ).split(",") if s
+        ]
+        if any(s in path for s in native_sites):
+            return "native"
     sites = [
         s for s in os.environ.get(
             "DDPM3D_INT8_TAPS_SITES", "out13_0/in_conv"
@@ -307,6 +319,24 @@ def conv3d_folded_int8(
     xq, s_x = quantize_act(x, batch, static_scale=act_scale)
     kq, s_w = quantize_kernel(kernel)
 
+    impl = int8_impl_for(path)
+    if impl == "native":
+        # Un-fold to (B, D, H, W, C): the 5-D conv's batch axis enforces
+        # the no-depth-crossing invariant that the folded lowerings need
+        # masks for, and SAME depth padding reproduces the zero-padded
+        # taps — no shifted copies or concat materialisation at all.
+        out5 = jax.lax.conv_general_dilated(
+            xq.reshape(batch, D, H, W, C),
+            kq,
+            window_strides=(1,) + tuple(strides_hw),
+            padding=((pd, pd),) + tuple(tuple(p) for p in padding_hw),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = out5.reshape((batch * out5.shape[1],) + out5.shape[2:])
+        scale = (s_x * s_w).astype(jnp.float32)
+        return (out.astype(jnp.float32) * scale).astype(x.dtype)
+
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
     taps = []
     for k in range(kd):
@@ -318,7 +348,7 @@ def conv3d_folded_int8(
             mask = jnp.asarray(valid, jnp.int8).reshape(BD, 1, 1, 1)
             xs = xs * mask
         taps.append(xs)
-    if int8_impl_for(path) == "concat":
+    if impl == "concat":
         # (kd,kh,kw,C,Cout) -> (kh,kw,kd*C,Cout), matching the tap order
         # of the channel concat.
         kcat = jnp.transpose(kq, (1, 2, 0, 3, 4)).reshape(

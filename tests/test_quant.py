@@ -127,21 +127,45 @@ class TestConvInt8:
         out = conv3d_folded_int8(x, k, 1)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("impl", ["concat", "native"])
     @pytest.mark.parametrize("batch,strides", [(1, (1, 1)), (2, (1, 1)),
                                                (2, (2, 2))])
-    def test_concat_impl_matches_taps(self, batch, strides, monkeypatch):
+    def test_impl_matches_taps(self, impl, batch, strides, monkeypatch):
         """DDPM3D_INT8_IMPL=concat (one conv over the channel-concatenated
-        depth taps) is bit-identical to the per-tap lowering: the channel
-        contraction sums the taps in the same int32 accumulator."""
+        depth taps) and =native (one 5-D NDHWC s8 conv on the un-folded
+        (B,D,H,W,C) view) are bit-identical to the per-tap lowering: all
+        three sum the same int32 products, and native's conv batch axis
+        enforces the same no-depth-crossing invariant the folded
+        lowerings mask for."""
         kx, kk = jax.random.split(jax.random.key(7))
         D, H, W, C, Co = 5, 8, 8, 8, 16
         x = jax.random.normal(kx, (batch * D, H, W, C), jnp.float32)
         k = jax.random.normal(kk, (3, 3, 3, C, Co), jnp.float32) * 0.1
         monkeypatch.setenv("DDPM3D_INT8_IMPL", "taps")
         ref = conv3d_folded_int8(x, k, batch, strides_hw=strides)
-        monkeypatch.setenv("DDPM3D_INT8_IMPL", "concat")
+        monkeypatch.setenv("DDPM3D_INT8_IMPL", impl)
         out = conv3d_folded_int8(x, k, batch, strides_hw=strides)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_native_sites_override(self, monkeypatch):
+        """DDPM3D_INT8_NATIVE_SITES takes precedence over the taps sites
+        and the global impl; outputs stay bit-identical."""
+        from ddpm3d_tpu.ops.quant import int8_impl_for
+
+        monkeypatch.delenv("DDPM3D_INT8_IMPL", raising=False)
+        monkeypatch.setenv("DDPM3D_INT8_NATIVE_SITES", "in1_0/in_conv")
+        monkeypatch.setenv("DDPM3D_INT8_TAPS_SITES", "in1_0,out13_0")
+        assert int8_impl_for("unet/in1_0/in_conv") == "native"
+        assert int8_impl_for("unet/out13_0/in_conv") == "taps"
+        assert int8_impl_for("unet/out12_0/in_conv") == "concat"
+        kx, kk = jax.random.split(jax.random.key(13))
+        x = jax.random.normal(kx, (5, 8, 8, 8), jnp.float32)
+        k = jax.random.normal(kk, (3, 3, 3, 8, 16), jnp.float32) * 0.1
+        nat = conv3d_folded_int8(x, k, 1, path="unet/in1_0/in_conv")
+        monkeypatch.setenv("DDPM3D_INT8_NATIVE_SITES", "")
+        monkeypatch.setenv("DDPM3D_INT8_TAPS_SITES", "")
+        ref = conv3d_folded_int8(x, k, 1, path="unet/in1_0/in_conv")
+        np.testing.assert_array_equal(np.asarray(nat), np.asarray(ref))
 
     def test_per_site_taps_override(self, monkeypatch):
         """DDPM3D_INT8_TAPS_SITES forces the taps lowering at matching
