@@ -241,11 +241,14 @@ def int8_impl() -> str:
     prevents depth crossings with no masks, no shifted copies, and no
     concat materialisation). All three are bit-identical — one int32
     accumulation over the same products — but schedule differently.
-    Measured on-chip at the flagship int8-static step (round 4): concat
-    88.4 vs taps 91.6 ms/step, so concat is the global default; the
-    microbenchmark sweep (tools/profile_int8_sweep.py) puts native
-    between them at 96^3 conv-only but it skips the tap-building
-    elementwise entirely, so per-site whole-step A/Bs decide."""
+    Measured on-chip at the flagship int8-static step (round 4,
+    tools/ab_int8_step.py): concat+taps-mix 87.4, all-concat 88.1,
+    all-taps 91.6 — and native LOSES decisively at step level despite
+    skipping the tap-building elementwise: all-native 315.2, native at
+    the full-res sites only 129.4/114.9 ms/step. XLA's 5-D NDHWC s8
+    conv schedule is the bottleneck, not the concat materialisation, so
+    concat stays the global default and native remains a tested
+    schedule option for future XLA versions."""
     return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 

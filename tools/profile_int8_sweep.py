@@ -97,8 +97,22 @@ def make_im2col(D, H, Ci, Co):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument(
+        "--hs", type=str, default="",
+        help="comma list of H values to keep (compiles are expensive "
+        "through the relay; e.g. --hs 48,24,12,6)")
+    ap.add_argument(
+        "--variants", type=str, default="concat,taps,native,im2col",
+        help="comma subset of concat,taps,native,im2col (dotref always "
+        "runs: it is the gather-free ceiling)")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
-    if "--smoke" in sys.argv:  # CPU syntax/shape check
+    if args.smoke:  # CPU syntax/shape check
         D, shapes = 8, [(8, 16, 16)]
     else:
         D = 96
@@ -109,6 +123,10 @@ def main():
             (12, 384, 384), (12, 512, 384), (12, 768, 384), (12, 896, 384),
             (6, 512, 512), (6, 1024, 512),
         ]
+    if args.hs:
+        keep = {int(h) for h in args.hs.split(",")}
+        shapes = [s for s in shapes if s[0] in keep]
+    variants = [v for v in args.variants.split(",") if v]
     print(
         "| H | Cin->Cout | bf16 | s8 concat | s8 taps | s8 native |"
         " s8 im2col | s8 dotref | best s8 speedup |"
@@ -136,7 +154,9 @@ def main():
             ("native", make_native(Ci, Co)),
             ("im2col", make_im2col(D, H, Ci, Co)),
         ]:
-            if name == "im2col" and 27 * D * H * H * Ci > 2 * 2**30:
+            if name not in variants or (
+                name == "im2col" and 27 * D * H * H * Ci > 2 * 2**30
+            ):
                 cells.append("skip")
                 continue
             t = timeit_chain(fn, x8, w8)
