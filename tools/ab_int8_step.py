@@ -61,9 +61,19 @@ CONFIGS = {
         "DDPM3D_INT8_NATIVE_SITES": "in1_0,in2_0,in3_0,out12_,out14_",
         "DDPM3D_INT8_TAPS_SITES": "out13_0/in_conv",
     },
+    # NOT bit-identical to control (less quantization, never more error):
+    # keep the 1x1 skip convs in bf16 — their FLOPs are 1/27 of a 3x3x3
+    # conv but their quantize clamps showed up at ~6 ms in the per-op
+    # floor analysis (README round 4), so int8 may be a net loss there.
+    "exclude_skip": {"DDPM3D_INT8_EXCLUDE": "in0_0,head_conv,/skip"},
+    # same question for the strided downsample convs (96^3-input
+    # quantize for a stride-2 output) — in3_0 is the big one.
+    "exclude_skip_down": {
+        "DDPM3D_INT8_EXCLUDE": "in0_0,head_conv,/skip,in3_0",
+    },
 }
 _AB_VARS = ("DDPM3D_INT8_IMPL", "DDPM3D_INT8_TAPS_SITES",
-            "DDPM3D_INT8_NATIVE_SITES")
+            "DDPM3D_INT8_NATIVE_SITES", "DDPM3D_INT8_EXCLUDE")
 
 
 def main():
