@@ -289,11 +289,11 @@ def main():
             round(int8_static_per_step_dev, 2)
             if int8_static_per_step_dev else None
         ),
-        # self-identify a caller-forced DDPM3D_INT8 env (the whole run is
-        # then int8, not just the headline) vs the default bf16 program
-        "precision": (
-            "int8" if os.environ.get("DDPM3D_INT8") == "1" else "bf16"
-        ),
+        # True when a caller forced DDPM3D_INT8=1 in the env (then EVERY
+        # number above is int8, not just the headline). Replaces the old
+        # "precision" key, which read "bf16" next to serving_precision
+        # "int8_static" and invited misquoting the 10k vox/s headline.
+        "env_forced_int8": os.environ.get("DDPM3D_INT8") == "1",
     }
     print(json.dumps(result))
 

@@ -131,6 +131,98 @@ def static_scale_for(path: str) -> Optional[float]:
     return s
 
 
+def validate_scales_file(
+    fname: str,
+    *,
+    model_path: str = "",
+    sampler: str = "",
+    respacing: str = "",
+    model_config: Optional[dict] = None,
+) -> None:
+    """Check a calibration file's ``meta`` block against the serving run.
+
+    Static scales are trajectory- and checkpoint-specific: a file
+    calibrated on the wrong checkpoint or sampler loads silently through
+    :func:`static_scales` (which reads only ``["scales"]``) and the
+    measured failure mode is a 15.5 dB collapse
+    (RESPACING_PROD_R4_INT8.json ddim25). This validator is called by
+    serving entry points (scripts/test.py) BEFORE the env gate is set:
+
+    - **hard error** on checkpoint or model-config mismatch (wrong
+      weights ⇒ wrong activation ranges at every site);
+    - **loud warning** on sampler/respacing mismatch (ancestral scales
+      measured −1.2 dB on longer ancestral chains but collapse DDIM —
+      the caller may know better, e.g. respacing sweeps);
+    - **loud warning** when the file predates meta enrichment (no
+      ``meta`` block or missing fields — tools/calibrate_int8.py now
+      records all of them).
+
+    ``model_config`` keys checked when present in both: ``size``,
+    ``model_channels``, ``channel_mult``, ``num_res_blocks``.
+    """
+    import json
+    import warnings
+
+    if fname.startswith("const:"):
+        warnings.warn(
+            "DDPM3D_INT8_SCALES=const:<s> applies ONE scale to every "
+            "site — a speed-profiling mode, never a serving config "
+            "(real per-site ranges span orders of magnitude)."
+        )
+        return
+    with open(fname) as f:
+        data = json.load(f)
+    meta = data.get("meta") or {}
+    if not meta:
+        warnings.warn(
+            f"int8 scales file {fname} has no 'meta' block (predates "
+            "tools/calibrate_int8.py meta enrichment) — cannot verify "
+            "it matches this checkpoint/sampler. Recalibrate."
+        )
+        return
+    if model_path and meta.get("ckpt"):
+        want = os.path.basename(model_path)
+        got = os.path.basename(str(meta["ckpt"]))
+        if got != want:
+            raise ValueError(
+                f"int8 scales file {fname} was calibrated on checkpoint "
+                f"'{got}' but this run serves '{want}' — activation "
+                "ranges are checkpoint-specific (recalibrate with "
+                "tools/calibrate_int8.py --load_ckpt <this checkpoint>)"
+            )
+    for key in ("size", "model_channels", "channel_mult",
+                "num_res_blocks"):
+        if model_config and key in model_config and key in meta:
+            if list(np.ravel(meta[key])) != list(
+                    np.ravel(model_config[key])):
+                raise ValueError(
+                    f"int8 scales file {fname} was calibrated on a "
+                    f"model with {key}={meta[key]} but this run uses "
+                    f"{key}={model_config[key]}"
+                )
+    if sampler and meta.get("sampler") and meta["sampler"] != sampler:
+        import warnings
+
+        warnings.warn(
+            f"int8 scales file {fname} was calibrated on the "
+            f"'{meta['sampler']}' chain but this run samples with "
+            f"'{sampler}' — static scales are trajectory-specific "
+            "(ancestral-calibrated scales collapsed ddim25 by 15.5 dB, "
+            "RESPACING_PROD_R4_INT8.json)."
+        )
+    if respacing and meta.get("respacing") and str(
+            meta["respacing"]) != str(respacing):
+        import warnings
+
+        warnings.warn(
+            f"int8 scales file {fname} was calibrated over the "
+            f"'{meta['respacing']}' respacing but this run uses "
+            f"'{respacing}' — per-step activation ranges spread up to "
+            f"{meta.get('max_step_spread', 'N/A')}x across the chain "
+            "(file meta); verify quality at this respacing."
+        )
+
+
 _EXCLUDE_DEFAULT = "in0_0,head_conv"
 
 

@@ -30,23 +30,46 @@ def main():
     args = create_argparser().parse_args()
 
     if args.int8:
+        if args.use_ddim or args.use_dpm_solver:
+            # Deterministic chains integrate the signed quantization error
+            # coherently: ddim25 under int8 measured 31.7 dB vs 47.2 bf16
+            # at production shape (RESPACING_PROD_R4_INT8.json), and
+            # DPM-Solver++'s higher-order extrapolation amplified int8
+            # error 3x vs ancestral chains at study scale (−2.07 dB,
+            # RESPACING_VPRED_INT8_CPU.json). Ancestral respacing absorbs
+            # it (<=1.2 dB) because per-step noise decorrelates the bias.
+            # Same guard family as the classifier-guidance refusal in
+            # ops/quant.py.
+            which = "--use_ddim" if args.use_ddim else "--use_dpm_solver"
+            raise SystemExit(
+                f"--int8 with {which} is refused: deterministic chains "
+                "accumulate quantization bias coherently (ddim25 "
+                "measured 31.7 dB vs 47.2 bf16; dpm2m25 −2.07 dB vs "
+                "−0.70 ancestral at study scale). Use ancestral "
+                "respacing (--timestep_respacing 250/25) or drop --int8."
+            )
+        if args.int8_scales:
+            # hard-error on checkpoint/model mismatch, loud warning on
+            # sampler/respacing mismatch — a wrong scales file loads
+            # silently otherwise and the measured cost is a 15.5 dB
+            # collapse (ops/quant.py:validate_scales_file)
+            from ddpm3d_tpu.ops.quant import validate_scales_file
+
+            validate_scales_file(
+                args.int8_scales,
+                model_path=args.model_path,
+                sampler="ddpm",  # ddim/dpm refused above
+                respacing=args.timestep_respacing or "1000",
+                model_config=dict(
+                    size=args.large_size,
+                    model_channels=args.num_channels,
+                    num_res_blocks=args.num_res_blocks,
+                ),
+            )
         # must be set before any conv traces (trace-time gate)
         os.environ["DDPM3D_INT8"] = "1"
         if args.int8_scales:
             os.environ["DDPM3D_INT8_SCALES"] = args.int8_scales
-        if args.use_ddim:
-            # Deterministic chains integrate the signed quantization error
-            # coherently: ddim25 under int8 measured 31.7 dB vs 47.2 bf16
-            # at production shape (RESPACING_PROD_R4_INT8.json). Ancestral
-            # respacing absorbs it (<=1.2 dB) because per-step noise
-            # decorrelates the bias. Same guard family as the classifier-
-            # guidance refusal in ops/quant.py.
-            raise SystemExit(
-                "--int8 with --use_ddim is refused: deterministic DDIM "
-                "chains collapse under the quantized torso (measured "
-                "31.7 dB vs 47.2 bf16 at 25 steps). Use ancestral "
-                "respacing (--timestep_respacing 250/25) or drop --int8."
-            )
     if args.platform:
         # JAX_PLATFORMS env cannot override the environment's preset
         # platform (sitecustomize pre-imports jax); the config API wins.

@@ -590,3 +590,130 @@ class TestStaticScales:
         assert static_scale_for("another") == 0.05
         monkeypatch.delenv("DDPM3D_INT8_SCALES")
         assert static_scale_for("any/site") is None
+
+
+class TestScalesFileValidation:
+    """Serving-time calibration-file checks (ops/quant.py:
+    validate_scales_file): hard error on checkpoint/model mismatch, loud
+    warning on sampler/respacing mismatch — a wrong file loads silently
+    through static_scales() otherwise (measured cost: 15.5 dB collapse,
+    RESPACING_PROD_R4_INT8.json)."""
+
+    def _write(self, tmp_path, meta):
+        import json
+
+        f = tmp_path / "scales.json"
+        f.write_text(json.dumps({"scales": {"unet/x": 0.1}, "meta": meta}))
+        return str(f)
+
+    def _meta(self, **over):
+        meta = dict(
+            sampler="ddpm", respacing="25", size=96, model_channels=128,
+            channel_mult=[1, 1, 2, 3, 4], num_res_blocks=2,
+            ckpt="/tmp/run/ema_0.999_012000.msgpack",
+            max_step_spread=38.5,
+        )
+        meta.update(over)
+        return meta
+
+    _cfg = dict(size=96, model_channels=128, num_res_blocks=2,
+                channel_mult=[1, 1, 2, 3, 4])
+
+    def _validate(self, fname, **over):
+        from ddpm3d_tpu.ops.quant import validate_scales_file
+
+        kw = dict(
+            model_path="/other/dir/ema_0.999_012000.msgpack",
+            sampler="ddpm", respacing="25", model_config=dict(self._cfg),
+        )
+        kw.update(over)
+        validate_scales_file(fname, **kw)
+
+    def test_matching_file_passes_silently(self, tmp_path, recwarn):
+        self._validate(self._write(tmp_path, self._meta()))
+        assert len(recwarn) == 0
+
+    def test_wrong_checkpoint_hard_errors(self, tmp_path):
+        f = self._write(tmp_path, self._meta())
+        with pytest.raises(ValueError, match="checkpoint"):
+            self._validate(f, model_path="/x/ema_0.999_004000.msgpack")
+
+    def test_wrong_model_config_hard_errors(self, tmp_path):
+        f = self._write(tmp_path, self._meta(model_channels=64))
+        with pytest.raises(ValueError, match="model_channels"):
+            self._validate(f)
+        f = self._write(tmp_path, self._meta(channel_mult=[1, 2]))
+        with pytest.raises(ValueError, match="channel_mult"):
+            self._validate(f)
+
+    def test_sampler_mismatch_warns(self, tmp_path):
+        f = self._write(tmp_path, self._meta(sampler="ddpm"))
+        with pytest.warns(UserWarning, match="trajectory-specific"):
+            self._validate(f, sampler="ddim")
+
+    def test_respacing_mismatch_warns(self, tmp_path):
+        f = self._write(tmp_path, self._meta(respacing="25"))
+        with pytest.warns(UserWarning, match="respacing"):
+            self._validate(f, respacing="1000")
+
+    def test_missing_meta_warns(self, tmp_path):
+        import json
+
+        f = tmp_path / "old.json"
+        f.write_text(json.dumps({"scales": {"unet/x": 0.1}}))
+        with pytest.warns(UserWarning, match="no 'meta'"):
+            self._validate(str(f))
+
+    def test_const_mode_warns_not_errors(self):
+        with pytest.warns(UserWarning, match="speed-profiling"):
+            self._validate("const:0.05")
+
+
+class TestServingCLIGuards:
+    """scripts/test.py refuses deterministic samplers under --int8 and
+    validates --int8_scales meta before setting the trace-time env gate
+    (round-4 verdict #3: the guard was asymmetric — ddim refused,
+    dpm_solver ran silently)."""
+
+    def _main(self, monkeypatch, argv):
+        import importlib.util
+        import os.path as osp
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "ddpm3d_scripts_test",
+            osp.join(osp.dirname(__file__), "..", "scripts", "test.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(sys, "argv", ["test.py"] + argv)
+        mod.main()
+
+    def test_int8_ddim_refused(self, monkeypatch):
+        with pytest.raises(SystemExit, match="use_ddim"):
+            self._main(monkeypatch, ["--int8", "True", "--use_ddim", "True"])
+        assert os.environ.get("DDPM3D_INT8") != "1"
+
+    def test_int8_dpm_solver_refused(self, monkeypatch):
+        with pytest.raises(SystemExit, match="use_dpm_solver"):
+            self._main(
+                monkeypatch, ["--int8", "True", "--use_dpm_solver", "True"]
+            )
+        assert os.environ.get("DDPM3D_INT8") != "1"
+
+    def test_int8_scales_mismatch_refused(self, tmp_path, monkeypatch):
+        import json
+
+        f = tmp_path / "scales.json"
+        f.write_text(json.dumps({
+            "scales": {"unet/x": 0.1},
+            "meta": {"ckpt": "/a/ema_0.999_012000.msgpack",
+                     "sampler": "ddpm", "respacing": "25"},
+        }))
+        with pytest.raises(ValueError, match="checkpoint"):
+            self._main(monkeypatch, [
+                "--int8", "True", "--int8_scales", str(f),
+                "--model_path", "/b/ema_0.999_004000.msgpack",
+                "--timestep_respacing", "25",
+            ])
+        assert os.environ.get("DDPM3D_INT8") != "1"

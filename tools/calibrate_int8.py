@@ -227,6 +227,13 @@ def main():
             "margin": args.margin,
             "n_volumes": args.n_volumes,
             "size": S,
+            # model identity — serving validates these against the run
+            # (ops/quant.py:validate_scales_file): scales are checkpoint-
+            # and architecture-specific
+            "model_channels": args.model_channels,
+            "channel_mult": [int(m) for m in model.channel_mult],
+            "num_res_blocks": args.num_res_blocks,
+            "factory": args.factory,
             "ckpt": args.load_ckpt or "RANDOM-INIT (speed profiling only)",
             "max_step_spread": worst[0][1] if worst else None,
             "worst_spread_sites": dict(worst),
