@@ -186,13 +186,25 @@ def denoise_patches(
             jnp.zeros_like(low_chunk), ids,
         )
 
+    def _vars(params, t):
+        # per-time-bin int8 scales, when the scales file carries them:
+        # a Flax collection keyed on the (traced) chain step — the (N,)
+        # tables are trace-time constants, only an N-entry gather
+        # depends on t (ops/quant.py:quant_scales_collection)
+        from ..ops.quant import quant_scales_collection
+
+        col = quant_scales_collection(jnp.reshape(t, (-1,))[0])
+        if col is None:
+            return {"params": params}
+        return {"params": params, "quant_scales": col}
+
     def run_segment(params, chunk_key, img, low_chunk, ids, t_start, n_steps):
         # params are an ARGUMENT, not a closure: closed-over weights would
         # be baked into the HLO as constants (gigabyte-scale programs).
         # ``ids`` key each patch's noise by its GLOBAL index, so outputs are
         # identical regardless of device count / chunking; ``t_start`` is
         # traced so one compile serves every segment position.
-        model_fn = lambda x, t, **kw: model_apply({"params": params}, x, t, **kw)
+        model_fn = lambda x, t, **kw: model_apply(_vars(params, t), x, t, **kw)
         return sample_chain_segment(
             chunk_key, model_fn, sched, cfg, img, t_start, n_steps,
             use_ddim=use_ddim, eta=eta, clip_denoised=clip_denoised,
@@ -242,7 +254,7 @@ def denoise_patches(
 
     def run_dpm(params, img, low_chunk):
         model_fn = lambda x, t, **kw: model_apply(
-            {"params": params}, x, t, **kw)
+            _vars(params, t), x, t, **kw)
         return dpm_solver_pp_sample_loop(
             key, model_fn, sched, cfg, noise=img,
             clip_denoised=clip_denoised,
@@ -254,7 +266,7 @@ def denoise_patches(
     # external-RNG parity path (jitted ONCE; chunk shapes are uniform)
     def run_stream(params, img, low_chunk, stream):
         model_fn = lambda x, t, **kw: model_apply(
-            {"params": params}, x, t, **kw)
+            _vars(params, t), x, t, **kw)
         loop = ddim_sample_loop if use_ddim else p_sample_loop
         kw = {"eta": eta} if use_ddim else {}
         return loop(

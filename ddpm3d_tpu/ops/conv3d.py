@@ -287,9 +287,18 @@ class Conv3DFolded(fnn.Module):
                 )
             elif not int8_excluded(path):
                 qmode = int8_mode()
-                from .quant import static_scale_for
+                if self.has_variable("quant_scales", "act_scale"):
+                    # per-time-bin scale for this site at the current
+                    # chain step, threaded by the sampler as a Flax
+                    # collection (ops/quant.py:quant_scales_collection);
+                    # a traced scalar — overrides the whole-chain value
+                    act_scale = self.get_variable(
+                        "quant_scales", "act_scale"
+                    )
+                else:
+                    from .quant import static_scale_for
 
-                act_scale = static_scale_for(path)
+                    act_scale = static_scale_for(path)
         if self.upsample:
             assert (kh, kw) == (3, 3) and (sh, sw) == (1, 1), (
                 "phase upsample-conv requires 3x3 HW stride 1"
@@ -313,12 +322,17 @@ class Conv3DFolded(fnn.Module):
         if qmode != "off":
             from .quant import conv3d_folded_int8, conv3d_folded_sim
 
+            # bias threads INTO the quantized lowering: it is applied in
+            # f32 on the dequantized accumulator (fused into the pallas
+            # kernel's epilogue; one elementwise pass fewer than adding
+            # it to the bf16 output here). sim mirrors for equivalence.
             if qmode == "sim":
                 y = conv3d_folded_sim(
                     x.astype(dtype), kernel, self.batch,
                     strides_hw=(sh, sw),
                     padding_hw=None if pad is None else tuple(pad)[1:],
                     act_scale=act_scale,
+                    bias=bias,
                 )
             else:
                 y = conv3d_folded_int8(
@@ -327,9 +341,8 @@ class Conv3DFolded(fnn.Module):
                     padding_hw=None if pad is None else tuple(pad)[1:],
                     act_scale=act_scale,
                     path=path,
+                    bias=bias,
                 )
-            if bias is not None:
-                y = y + bias.astype(y.dtype)
             return y
         y = conv3d_folded(
             x.astype(dtype), kernel.astype(dtype), self.batch,

@@ -108,6 +108,85 @@ def static_scales() -> dict:
     return table
 
 
+_tables_cache: Tuple[Optional[str], Optional[dict]] = (None, None)
+
+
+def scale_tables() -> Optional[dict]:
+    """Per-time-bin static scale tables from the ``DDPM3D_INT8_SCALES``
+    file, or None when the file has no ``scales_t`` block (or none is
+    set, or ``DDPM3D_INT8_NO_TIME_SCALES=1`` opts out).
+
+    Returns ``{"n_bins": N, "chain_steps": T, "sites": {path: (N,)
+    np.float32 array}}``. Written by ``tools/calibrate_int8.py
+    --time_bins N``: the committed whole-chain calibration records up to
+    38x per-site activation spread across the chain
+    (INT8_SCALES_PROD.json meta) — one scale per site wastes up to
+    5 bits of int8 resolution at small-range steps, the measured cost
+    being −1.2 dB at ddpm1000. Binning the chain restores per-step
+    resolution while keeping scales trace-time data (a (N,)-table gather
+    on the traced step index — no abs-max reductions return to the hot
+    path)."""
+    global _tables_cache
+    fname = os.environ.get("DDPM3D_INT8_SCALES") or None
+    if fname and fname.startswith("const:"):
+        return None
+    if os.environ.get("DDPM3D_INT8_NO_TIME_SCALES") == "1":
+        return None
+    if _tables_cache[0] == fname:
+        return _tables_cache[1]
+    tab: Optional[dict] = None
+    if fname:
+        import json
+
+        with open(fname) as f:
+            data = json.load(f)
+        st = data.get("scales_t")
+        meta = data.get("meta") or {}
+        if st:
+            tab = {
+                "n_bins": int(meta["time_bins"]),
+                "chain_steps": int(meta["chain_steps"]),
+                "sites": {
+                    str(k): np.asarray(v, np.float32)
+                    for k, v in st.items()
+                },
+            }
+    _tables_cache = (fname, tab)
+    return tab
+
+
+def quant_scales_collection(t_scalar) -> Optional[dict]:
+    """Build the ``quant_scales`` Flax collection for chain step
+    ``t_scalar`` (the respaced chain index the samplers pass to
+    model_fn — may be traced), or None when no per-bin tables exist.
+
+    The returned nested dict mirrors the module tree ({...module path:
+    {"act_scale": scalar}}); pass it alongside params:
+    ``model.apply({"params": p, "quant_scales": col}, x, t, ...)`` and
+    Conv3DFolded reads its own entry in preference to the whole-chain
+    :func:`static_scale_for` value. The per-site (N,) tables are closed
+    over as constants; only the N-entry gather depends on t.
+    """
+    tab = scale_tables()
+    if tab is None:
+        return None
+    import jax.numpy as jnp
+
+    idx = jnp.clip(
+        jnp.asarray(t_scalar, jnp.int32) * tab["n_bins"]
+        // tab["chain_steps"],
+        0, tab["n_bins"] - 1,
+    )
+    col: dict = {}
+    for path, arr in tab["sites"].items():
+        node = col
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {"act_scale": jnp.asarray(arr)[idx]}
+    return col
+
+
 def static_scale_for(path: str) -> Optional[float]:
     """The calibrated scale for a conv site, or None (-> dynamic abs-max).
     Missing sites fall back to dynamic quantization rather than erroring —
@@ -267,7 +346,9 @@ def quantize_act(
     """
     x32 = x.astype(jnp.float32)
     if static_scale is not None:
-        scale = jnp.float32(static_scale)
+        # asarray (not jnp.float32(...)): static_scale may be a traced
+        # scalar under per-time-bin tables (quant_scales_collection)
+        scale = jnp.asarray(static_scale, jnp.float32)
         q = jnp.clip(jnp.round(x32 / scale), -127, 127)
         return q.astype(jnp.int8), scale
     BD = x.shape[0]
@@ -304,12 +385,14 @@ def conv3d_folded_sim(
     strides_hw: Tuple[int, int] = (1, 1),
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
     act_scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fake-quant twin of :func:`conv3d_folded_int8`: both operands are
     quantized and DEQUANTIZED, then convolved with the fast fp kernels in
     f32. By linearity of dequantization this equals the int8 path up to
     f32 rounding (pinned by TestSimMode); the per-tap sum commutes with
-    the shared activation scale."""
+    the shared activation scale. ``bias`` (Cout,) is added in f32 before
+    the output cast, mirroring the int8 path's fused epilogue."""
     from .conv3d import conv3d_folded
 
     xq, s_x = quantize_act(x, batch, static_scale=act_scale)
@@ -320,6 +403,8 @@ def conv3d_folded_sim(
         xd, kd, batch, strides_hw=strides_hw, padding_hw=padding_hw,
         preferred_dtype=jnp.float32,
     )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -328,19 +413,23 @@ def int8_impl() -> str:
     depth-shifted int8 slices are concatenated on the channel axis and
     convolved ONCE with the (kh,kw,kd*C,Cout)-reshaped kernel),
     ``DDPM3D_INT8_IMPL=taps`` (one int8 conv2d per depth tap, int32
-    tensor adds between them), or ``DDPM3D_INT8_IMPL=native`` (un-fold to
+    tensor adds between them), ``DDPM3D_INT8_IMPL=native`` (un-fold to
     (B,D,H,W,C) and run ONE 5-D NDHWC s8 conv — the conv's batch axis
     prevents depth crossings with no masks, no shifted copies, and no
-    concat materialisation). All three are bit-identical — one int32
-    accumulation over the same products — but schedule differently.
+    concat materialisation), or ``DDPM3D_INT8_IMPL=pallas`` (the custom
+    implicit-GEMM s8 Pallas kernel, ops/conv3d_s8.py: 27 s8 MXU matmuls
+    over a VMEM-resident haloed block with the dequantize epilogue fused
+    in-register; falls back to ``concat`` per call where
+    conv3d_s8_applicable is False — strided/narrow/odd-channel sites).
+    All four are bit-identical — one int32 accumulation over the same
+    products — but schedule differently.
     Measured on-chip at the flagship int8-static step (round 4,
     tools/ab_int8_step.py): concat+taps-mix 87.4, all-concat 88.1,
     all-taps 91.6 — and native LOSES decisively at step level despite
     skipping the tap-building elementwise: all-native 315.2, native at
     the full-res sites only 129.4/114.9 ms/step. XLA's 5-D NDHWC s8
-    conv schedule is the bottleneck, not the concat materialisation, so
-    concat stays the global default and native remains a tested
-    schedule option for future XLA versions."""
+    conv schedule is the bottleneck, not the concat materialisation —
+    which is exactly the gap the pallas kernel targets (round 5)."""
     return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 
@@ -369,6 +458,13 @@ def int8_impl_for(path: Optional[str]) -> str:
         ]
         if any(s in path for s in native_sites):
             return "native"
+        pallas_sites = [
+            s for s in os.environ.get(
+                "DDPM3D_INT8_PALLAS_SITES", ""
+            ).split(",") if s
+        ]
+        if any(s in path for s in pallas_sites):
+            return "pallas"
     sites = [
         s for s in os.environ.get(
             "DDPM3D_INT8_TAPS_SITES", "out13_0/in_conv"
@@ -388,6 +484,7 @@ def conv3d_folded_int8(
     padding_hw: Optional[Sequence[Tuple[int, int]]] = None,
     act_scale: Optional[float] = None,
     path: Optional[str] = None,
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """W8A8 variant of ops/conv3d.py:conv3d_folded (shifted-tap lowering).
 
@@ -398,10 +495,21 @@ def conv3d_folded_int8(
     dequantize by ``s_x * s_w[c]``. Output dtype follows ``x``.
     Under the default ``concat`` impl the taps instead become channel
     groups of ONE int8 conv (see :func:`int8_impl`) — bit-identical
-    output, different schedule; ``path`` lets DDPM3D_INT8_TAPS_SITES
-    force taps per site (:func:`int8_impl_for`).
+    output, different schedule; ``path`` lets DDPM3D_INT8_TAPS_SITES /
+    DDPM3D_INT8_PALLAS_SITES force a lowering per site
+    (:func:`int8_impl_for`). The ``pallas`` lowering runs the custom
+    implicit-GEMM s8 kernel (ops/conv3d_s8.py) where applicable
+    (stride 1, SAME, C%128==0, W%32==0, per-tensor activation scale)
+    and silently falls back to ``concat`` elsewhere.
 
     ``act_scale``: calibrated static activation scale (no abs-max reduce).
+    ``bias``: optional (Cout,) bias added in f32 BEFORE the output cast —
+    under the pallas lowering it fuses into the kernel epilogue; the XLA
+    lowerings add it to the f32 dequantized output. One fewer bf16 HBM
+    round-trip than a caller-side add. The int32 accumulation and the
+    scale multiply stay bit-identical across all lowerings; the bias add
+    may FMA-contract inside the pallas epilogue (one rounding instead of
+    two — <= 1 ulp, tests/test_conv3d_s8.py).
     """
     BD, H, W, C = x.shape
     kd, kh, kw = kernel.shape[:3]
@@ -415,6 +523,50 @@ def conv3d_folded_int8(
     kq, s_w = quantize_kernel(kernel)
 
     impl = int8_impl_for(path)
+    if impl == "pallas":
+        from .conv3d_s8 import conv3d_s8, conv3d_s8_mode
+
+        same_pad = tuple(tuple(p) for p in padding_hw) == (
+            (kh // 2, kh // 2), (kw // 2, kw // 2)
+        )
+        # per-tensor scale required to fold s_x into the (Cout,) epilogue
+        # vector: static scales are scalars; dynamic per-sample scales
+        # are one scalar only at batch 1.
+        x5 = (batch, D, H, W, C)
+        mode = (
+            conv3d_s8_mode(x5, kq.shape, (1,) + tuple(strides_hw))
+            if same_pad and (act_scale is not None or batch == 1)
+            else None
+        )
+        if mode is not None:
+            if act_scale is not None:
+                scale = jnp.asarray(act_scale, jnp.float32) * s_w
+            else:
+                # dynamic at batch 1: every folded row repeats the one
+                # per-sample scale (quantize_act) — take it as a scalar
+                scale = s_x.reshape(-1)[0].astype(jnp.float32) * s_w
+            bias_f = None if bias is None else bias.astype(jnp.float32)
+            interp = jax.default_backend() != "tpu"
+            if mode == "direct":
+                out5 = conv3d_s8(
+                    xq.reshape(x5), kq, scale, bias=bias_f,
+                    out_dtype=x.dtype, interpret=interp,
+                )
+                return out5.reshape(BD, H, W, -1)
+            # "transpose": rotate the full-depth axis minor-most —
+            # (B,D,H,W,C)->(B,H,W,D,C) — so 48/24/12-wide levels meet
+            # the 32-row int8 tile; the rotation fuses with the
+            # producing quantize. Conv is layout-equivariant under the
+            # matching kernel rotation (kd,kh,kw)->(kh,kw,kd).
+            xt = jnp.transpose(xq.reshape(x5), (0, 2, 3, 1, 4))
+            kt = jnp.transpose(kq, (1, 2, 0, 3, 4))
+            out5 = conv3d_s8(
+                xt, kt, scale, bias=bias_f,
+                out_dtype=x.dtype, interpret=interp,
+            )
+            out5 = jnp.transpose(out5, (0, 3, 1, 2, 4))
+            return out5.reshape(BD, H, W, -1)
+        impl = "concat"
     if impl == "native":
         # Un-fold to (B, D, H, W, C): the 5-D conv's batch axis enforces
         # the no-depth-crossing invariant that the folded lowerings need
@@ -430,7 +582,10 @@ def conv3d_folded_int8(
         )
         out = out5.reshape((batch * out5.shape[1],) + out5.shape[2:])
         scale = (s_x * s_w).astype(jnp.float32)
-        return (out.astype(jnp.float32) * scale).astype(x.dtype)
+        y = out.astype(jnp.float32) * scale
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
     xp = jnp.pad(xq, ((pd, pd), (0, 0), (0, 0), (0, 0)))
     taps = []
@@ -471,7 +626,10 @@ def conv3d_folded_int8(
             out = y if out is None else out + y
     # (BD,1,1,1) x (Cout,) -> broadcast over rows and channels
     scale = (s_x * s_w).astype(jnp.float32)
-    return (out.astype(jnp.float32) * scale).astype(x.dtype)
+    y = out.astype(jnp.float32) * scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def upsample_conv_folded_int8(

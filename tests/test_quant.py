@@ -422,6 +422,118 @@ class TestSimMode:
         y_sim = m.apply(params, x)
         np.testing.assert_allclose(y_sim, y_int8, rtol=2e-5, atol=2e-5)
 
+class TestTimeBinScales:
+    """Per-time-bin static scales (round-5: the whole-chain calibration
+    recorded 38x per-site step spread — INT8_SCALES_PROD.json meta — so
+    one scale per site wastes int8 resolution; quant.scale_tables /
+    quant_scales_collection thread per-bin scales through a Flax
+    collection keyed on the traced chain step)."""
+
+    def _write(self, tmp_path, n_bins=4, chain=8):
+        import json
+
+        f = tmp_path / "scales_t.json"
+        f.write_text(json.dumps({
+            "scales": {"c1": 0.5, "grp/c2": 0.25},
+            "scales_t": {
+                "c1": [0.1 * (b + 1) for b in range(n_bins)],
+                "grp/c2": [0.01 * (b + 1) for b in range(n_bins)],
+            },
+            "meta": {"time_bins": n_bins, "chain_steps": chain},
+        }))
+        return str(f)
+
+    def test_tables_load_and_cache(self, tmp_path, monkeypatch):
+        from ddpm3d_tpu.ops import quant
+
+        monkeypatch.setenv("DDPM3D_INT8_SCALES",
+                           self._write(tmp_path))
+        tab = quant.scale_tables()
+        assert tab["n_bins"] == 4 and tab["chain_steps"] == 8
+        np.testing.assert_allclose(tab["sites"]["c1"],
+                                   [0.1, 0.2, 0.3, 0.4])
+        # opt-out gate
+        monkeypatch.setenv("DDPM3D_INT8_NO_TIME_SCALES", "1")
+        assert quant.scale_tables() is None
+        monkeypatch.delenv("DDPM3D_INT8_NO_TIME_SCALES")
+        # legacy files without scales_t -> None
+        import json
+        legacy = tmp_path / "legacy.json"
+        legacy.write_text(json.dumps({"scales": {"c1": 0.5}}))
+        monkeypatch.setenv("DDPM3D_INT8_SCALES", str(legacy))
+        assert quant.scale_tables() is None
+
+    def test_collection_bin_selection(self, tmp_path, monkeypatch):
+        """t in [0,8) with 4 bins -> bin t*4//8; nesting mirrors the
+        module tree with an 'act_scale' leaf."""
+        from ddpm3d_tpu.ops.quant import quant_scales_collection
+
+        monkeypatch.setenv("DDPM3D_INT8_SCALES",
+                           self._write(tmp_path))
+        col0 = quant_scales_collection(jnp.asarray(0))
+        col7 = quant_scales_collection(jnp.asarray(7))
+        assert float(col0["c1"]["act_scale"]) == pytest.approx(0.1)
+        assert float(col7["c1"]["act_scale"]) == pytest.approx(0.4)
+        assert float(col7["grp"]["c2"]["act_scale"]) == pytest.approx(0.04)
+        # out-of-range t clips instead of wrapping
+        col_hi = quant_scales_collection(jnp.asarray(99))
+        assert float(col_hi["c1"]["act_scale"]) == pytest.approx(0.4)
+
+    def test_conv_module_prefers_collection(self, tmp_path, monkeypatch):
+        """Conv3DFolded under a quant_scales collection quantizes with
+        the threaded scalar; without it, with the whole-chain file
+        scale. The two disagree by construction here."""
+        from flax import linen as fnn
+
+        from ddpm3d_tpu.ops.conv3d import Conv3DFolded
+        from ddpm3d_tpu.ops.quant import quant_scales_collection
+
+        class M(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return Conv3DFolded(features=8, batch=1, name="c1")(x)
+
+        m = M()
+        x = jax.random.normal(jax.random.key(50), (4, 8, 8, 8),
+                              jnp.float32)
+        params = m.init(jax.random.key(51), x)["params"]
+        monkeypatch.setenv("DDPM3D_INT8", "sim")
+        monkeypatch.setenv("DDPM3D_INT8_EXCLUDE", "")
+        monkeypatch.setenv("DDPM3D_INT8_SCALES",
+                           self._write(tmp_path))
+        col = quant_scales_collection(jnp.asarray(0))  # c1 -> 0.1
+        y_bin = m.apply({"params": params, "quant_scales": col}, x)
+        y_chain = m.apply({"params": params}, x)  # whole-chain 0.5
+        # reference: explicit static scales through the same sim path
+        from ddpm3d_tpu.ops.quant import conv3d_folded_sim
+
+        kern = params["c1"]["kernel"]
+        bias = params["c1"]["bias"]
+        ref_bin = conv3d_folded_sim(x, kern, 1, act_scale=0.1, bias=bias)
+        ref_chain = conv3d_folded_sim(x, kern, 1, act_scale=0.5,
+                                      bias=bias)
+        np.testing.assert_array_equal(np.asarray(y_bin),
+                                      np.asarray(ref_bin))
+        np.testing.assert_array_equal(np.asarray(y_chain),
+                                      np.asarray(ref_chain))
+        assert not np.array_equal(np.asarray(y_bin),
+                                  np.asarray(y_chain))
+
+    def test_calibrate_tool_emits_bins(self, tmp_path):
+        """tools/calibrate_int8.py --time_bins writes scales_t with the
+        same bin mapping serving uses, zero bins backfilled by the
+        whole-chain max."""
+        import numpy as _np
+
+        nb, n_steps = 4, 8
+        per_step = {i: 1.0 + i for i in range(n_steps)}  # amax at step i
+        bins = _np.zeros(nb)
+        for i in range(n_steps):
+            b = min(i * nb // n_steps, nb - 1)
+            bins[b] = max(bins[b], per_step[i])
+        np.testing.assert_allclose(bins, [2.0, 4.0, 6.0, 8.0])
+
+
 class TestStaticScales:
     """Calibrated static activation scales (DDPM3D_INT8_SCALES): trace-time
     constants replacing the dynamic abs-max reductions (ops/quant.py

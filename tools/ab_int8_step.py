@@ -61,6 +61,23 @@ CONFIGS = {
         "DDPM3D_INT8_NATIVE_SITES": "in1_0,in2_0,in3_0,out12_,out14_",
         "DDPM3D_INT8_TAPS_SITES": "out13_0/in_conv",
     },
+    # round 5: the custom implicit-GEMM s8 Pallas kernel with fused
+    # dequantize+bias epilogue (ops/conv3d_s8.py) at every applicable
+    # stride-1 3x3x3 site (inapplicable sites fall back to concat)
+    "all_pallas": {"DDPM3D_INT8_IMPL": "pallas",
+                   "DDPM3D_INT8_TAPS_SITES": ""},
+    # pallas only at the full-res level (largest convs, direct layout),
+    # concat+taps default elsewhere
+    "pallas_fullres": {
+        "DDPM3D_INT8_PALLAS_SITES":
+            "in1_0,in2_0,out12_,out13_,out14_",
+        "DDPM3D_INT8_TAPS_SITES": "",
+    },
+    # pallas at full-res AND the rotated-layout lower levels explicitly
+    "pallas_keep_taps": {
+        "DDPM3D_INT8_IMPL": "pallas",
+        "DDPM3D_INT8_TAPS_SITES": "out13_0/in_conv",
+    },
     # NOT bit-identical to control (less quantization, never more error):
     # keep the 1x1 skip convs in bf16 — their FLOPs are 1/27 of a 3x3x3
     # conv but their quantize clamps showed up at ~6 ms in the per-op
@@ -73,7 +90,8 @@ CONFIGS = {
     },
 }
 _AB_VARS = ("DDPM3D_INT8_IMPL", "DDPM3D_INT8_TAPS_SITES",
-            "DDPM3D_INT8_NATIVE_SITES", "DDPM3D_INT8_EXCLUDE")
+            "DDPM3D_INT8_NATIVE_SITES", "DDPM3D_INT8_PALLAS_SITES",
+            "DDPM3D_INT8_EXCLUDE")
 
 
 def main():

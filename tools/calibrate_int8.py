@@ -86,6 +86,16 @@ def main():
                     "deterministic trajectory exits the calibrated "
                     "activation ranges late in the chain — calibrate on "
                     "the sampler you serve")
+    ap.add_argument("--time_bins", type=int, default=8,
+                    help="ALSO emit per-time-bin scale tables "
+                    "('scales_t': site -> [n_bins]): the chain's step "
+                    "range splits into equal index bins, each getting "
+                    "its own scale. The whole-chain calibration records "
+                    "up to 38x per-site spread across steps "
+                    "(INT8_SCALES_PROD.json) — one scale wastes up to 5 "
+                    "bits of int8 resolution at small-range steps. "
+                    "Serving picks them up automatically "
+                    "(ops/quant.py:quant_scales_collection); 0 disables")
     ap.add_argument("--out", type=str, default="/tmp/int8_scales.json")
     args = ap.parse_args()
     assert args.load_ckpt or args.allow_random, (
@@ -192,7 +202,9 @@ def main():
 
     amax_all = {}        # site -> max over steps+volumes
     step_min = {}        # site -> min over steps of the per-step max
+    amax_bins = {}       # site -> (n_bins,) max within each step bin
     n_steps = sp.num_timesteps
+    nb = max(args.time_bins, 0)
     for v in range(args.n_volumes):
         noisy, _ = make_pair(np.random.default_rng(321 + v), (S, S, S))
         low = jnp.asarray(noisy * 2.0 - 1.0)[None, ..., None]
@@ -204,13 +216,18 @@ def main():
                 params, x, t, jax.random.fold_in(jax.random.key(5), i), low
             )
             flat = flatten_calib(jax.device_get(calib))
+            # same bin mapping serving uses (quant_scales_collection)
+            b = min(i * nb // n_steps, nb - 1) if nb else 0
             for site, m in flat.items():
                 amax_all[site] = max(amax_all.get(site, 0.0), m)
                 step_min[site] = min(step_min.get(site, np.inf), m)
+                if nb:
+                    bins = amax_bins.setdefault(site, np.zeros(nb))
+                    bins[b] = max(bins[b], m)
         print(f"volume {v}: calibrated {n_steps} steps, "
               f"{len(amax_all)} sites", flush=True)
 
-    scales, spreads = {}, {}
+    scales, spreads, scales_t = {}, {}, {}
     for site, amax in sorted(amax_all.items()):
         if amax <= 0.0:
             continue  # dead site: leave it on dynamic fallback
@@ -218,6 +235,13 @@ def main():
         spreads[site] = (
             float(amax / step_min[site]) if step_min[site] > 0 else np.inf
         )
+        if nb:
+            # bins the chain never filled (short chains, nb > n_steps)
+            # fall back to the whole-chain max — never a 0 scale
+            bins = np.where(amax_bins[site] > 0, amax_bins[site], amax)
+            scales_t[site] = [
+                float(b_ * args.margin / 127.0) for b_ in bins
+            ]
     worst = sorted(spreads.items(), key=lambda kv: -kv[1])[:5]
     out = {
         "scales": scales,
@@ -235,11 +259,15 @@ def main():
             "num_res_blocks": args.num_res_blocks,
             "factory": args.factory,
             "ckpt": args.load_ckpt or "RANDOM-INIT (speed profiling only)",
+            "time_bins": nb,
+            "chain_steps": n_steps,
             "max_step_spread": worst[0][1] if worst else None,
             "worst_spread_sites": dict(worst),
             "per_site_step_spread": spreads,
         },
     }
+    if scales_t:
+        out["scales_t"] = scales_t
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {len(scales)} site scales to {args.out}")

@@ -76,6 +76,29 @@ def make_native(Ci, Co):
     return f
 
 
+def make_pallas(D, H, Ci, Co):
+    """The custom implicit-GEMM s8 Pallas kernel (ops/conv3d_s8.py) with
+    its fused dequantize epilogue; rotated layout where H % 32 != 0
+    (conv3d_s8_mode), which is every level below full-res."""
+    from ddpm3d_tpu.ops.conv3d_s8 import conv3d_s8, conv3d_s8_mode
+
+    mode = conv3d_s8_mode(
+        (1, D, H, H, Ci), (3, 3, 3, Ci, Co), (1, 1, 1)
+    )
+    if mode is None:
+        return None
+    scale = jnp.full((Co,), 3e-4, jnp.float32)
+
+    def f(x, w):  # x: (D,H,H,3Ci) -> use first Ci as the 5-D activation
+        x5 = jax.lax.slice_in_dim(x, 0, Ci, axis=3)[None]
+        w5 = w.reshape(3, 3, 3, Ci, Co)
+        if mode == "transpose":
+            x5 = jnp.transpose(x5, (0, 2, 3, 1, 4))
+            w5 = jnp.transpose(w5, (1, 2, 0, 3, 4))
+        return conv3d_s8(x5, w5, scale, out_dtype=jnp.bfloat16)
+    return f
+
+
 def make_im2col(D, H, Ci, Co):
     def f(x, w):  # x: (D,H,H,3Ci); patches over (3,3) HW window
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -106,9 +129,10 @@ def main():
         help="comma list of H values to keep (compiles are expensive "
         "through the relay; e.g. --hs 48,24,12,6)")
     ap.add_argument(
-        "--variants", type=str, default="concat,taps,native,im2col",
-        help="comma subset of concat,taps,native,im2col (dotref always "
-        "runs: it is the gather-free ceiling)")
+        "--variants", type=str,
+        default="concat,taps,native,im2col,pallas",
+        help="comma subset of concat,taps,native,im2col,pallas (dotref "
+        "always runs: it is the gather-free ceiling)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -129,9 +153,9 @@ def main():
     variants = [v for v in args.variants.split(",") if v]
     print(
         "| H | Cin->Cout | bf16 | s8 concat | s8 taps | s8 native |"
-        " s8 im2col | s8 dotref | best s8 speedup |"
+        " s8 im2col | s8 pallas | s8 dotref | best s8 speedup |"
     )
-    print("|---|" * 9)
+    print("|---|" * 10)
     from ddpm3d_tpu.ops.conv3d import conv3d_folded
 
     for H, Ci, Co in shapes:
@@ -153,8 +177,9 @@ def main():
             ("taps", make_taps(Ci, Co)),
             ("native", make_native(Ci, Co)),
             ("im2col", make_im2col(D, H, Ci, Co)),
+            ("pallas", make_pallas(D, H, Ci, Co)),
         ]:
-            if name not in variants or (
+            if name not in variants or fn is None or (
                 name == "im2col" and 27 * D * H * H * Ci > 2 * 2**30
             ):
                 cells.append("skip")

@@ -299,9 +299,20 @@ def main():
             sec = f"ddim{respace[4:]}" if respace.startswith("ddim") else respace
             sp = make_spaced_schedule(betas, sorted(space_timesteps(T, sec)))
 
+        def _vars(params, t):
+            # per-time-bin int8 scales when the scales file carries them
+            # (ops/quant.py:quant_scales_collection) — the study must
+            # measure the same program serving runs
+            from ddpm3d_tpu.ops.quant import quant_scales_collection
+
+            col = quant_scales_collection(jnp.reshape(t, (-1,))[0])
+            if col is None:
+                return {"params": params}
+            return {"params": params, "quant_scales": col}
+
         def run(params, key, low, noise):
             model_fn = lambda x, t, **kw: model.apply(
-                {"params": params}, x, t, **kw)
+                _vars(params, t), x, t, **kw)
             if sampler == "ddim":
                 return ddim_sample_loop(key, model_fn, sp, cfg, noise=noise,
                                         model_kwargs={"low_res": low},
@@ -322,7 +333,7 @@ def main():
 
             def run_seg(params, key, img, low, t_start, n):
                 model_fn = lambda x, t, **kw: model.apply(
-                    {"params": params}, x, t, **kw)
+                    _vars(params, t), x, t, **kw)
                 return sample_chain_segment(
                     key, model_fn, sp, cfg, img, t_start, n,
                     use_ddim=(sampler == "ddim"),
