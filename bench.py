@@ -143,7 +143,16 @@ def main():
     def run(params, key, low):
         # params must be an ARGUMENT: closing over them would bake all
         # weights into the HLO as constants (a ~1 GB program).
-        model_fn = lambda xx, tt, **kw: model.apply(params, xx, tt, **kw)
+        def model_fn(xx, tt, **kw):
+            # per-time-bin int8 scales when the committed scales file
+            # carries them — bench must time the same program serving
+            # runs (ops/quant.py:quant_scales_collection; None = no-op)
+            from ddpm3d_tpu.ops.quant import quant_scales_collection
+
+            col = quant_scales_collection(jnp.reshape(tt, (-1,))[0])
+            v = {**params, "quant_scales": col} if col is not None else params
+            return model.apply(v, xx, tt, **kw)
+
         return p_sample_loop(
             key, model_fn, sched, cfg, shape=shape,
             model_kwargs={"low_res": low},

@@ -128,19 +128,33 @@ def main():
         jax.clear_caches()
 
         def run(params, key, low):
-            model_fn = lambda xx, tt, **kw: model.apply(params, xx, tt, **kw)
+            def model_fn(xx, tt, **kw):
+                # same per-time-bin scale threading as serving/bench
+                from ddpm3d_tpu.ops.quant import quant_scales_collection
+
+                col = quant_scales_collection(jnp.reshape(tt, (-1,))[0])
+                v = (
+                    {**params, "quant_scales": col}
+                    if col is not None else params
+                )
+                return model.apply(v, xx, tt, **kw)
+
             return p_sample_loop(key, model_fn, sched, cfg, shape=shape,
                                  model_kwargs={"low_res": low})
 
         jitted = jax.jit(run)
-        t0 = time.perf_counter()
-        float(jnp.sum(jitted(params, key, low)))  # compile + warm
-        print(f"compile+warm {name}: {time.perf_counter()-t0:.0f}s",
-              file=sys.stderr, flush=True)
-        dev = measure_device_ms(
-            lambda: float(jnp.sum(jitted(params, jax.random.fold_in(key, 9),
-                                         low))))
-        print(f"| {name} | {dev/steps:.2f} |", flush=True)
+        try:
+            t0 = time.perf_counter()
+            float(jnp.sum(jitted(params, key, low)))  # compile + warm
+            print(f"compile+warm {name}: {time.perf_counter()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            dev = measure_device_ms(
+                lambda: float(jnp.sum(jitted(
+                    params, jax.random.fold_in(key, 9), low))))
+            print(f"| {name} | {dev/steps:.2f} |", flush=True)
+        except Exception as e:  # keep measuring the remaining schedules
+            print(f"| {name} | FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]} |", flush=True)
 
 
 if __name__ == "__main__":
