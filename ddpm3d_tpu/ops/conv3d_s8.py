@@ -31,9 +31,21 @@ FLOPs) qualify; 48^2/24^2 sites (W % 32 != 0) and strided downsamples
 fall back to the XLA `concat` lowering in ops/quant.py.
 
 Inference-only: the int8 path refuses training (rounding has zero
-gradient, ops/quant.py), so no VJP is defined. Replaces (faster than)
-the reference's fp16 serving torso
+gradient, ops/quant.py), so no VJP is defined. Built against the
+reference's fp16 serving torso
 (/root/reference/guided_diffusion/unet.py:671-685 convert_to_fp16).
+
+**Measured verdict (round 5, S8_KERNEL_STUDY.md): benchmarked-off.**
+XLA's s8 concat conv runs at 357-385 TOPS (91-98% of the v5e int8 MXU
+ceiling) at every flagship shape; this kernel measures 160-284 TOPS in
+both inner K-styles (``DDPM3D_S8_KSTYLE=im2col|taps27``) because a
+Pallas matmul reads materialised operands — the 27-tap reduction pays
+either 26 inter-matmul VPU int32 adds (taps27) or explicit VMEM patch
+copies (im2col), while XLA's conv emitter streams overlapping windows
+into the systolic array with neither. Step level: all_pallas 109.1
+ms/step vs the 87.4 concat+taps default. Kept correctness-tested
+(bit-exact vs the int32 XLA conv in both layouts,
+tests/test_conv3d_s8.py) and env-gated, like the bf16 Pallas kernels.
 """
 
 from __future__ import annotations
@@ -76,7 +88,7 @@ def conv3d_s8_applicable(
         return False
     if W % _S8_SUBLANE:
         return False
-    if _pick_blocks(D, H, W, Cin, Cout, kd, kh) is None:
+    if _pick_blocks(D, H, W, Cin, Cout, kd, kh, kw, "taps27") is None:
         return False  # not even a (1,1) block fits VMEM (huge-C middle)
     return True
 
@@ -108,16 +120,36 @@ def conv3d_s8_mode(
     return None
 
 
+def _kstyle() -> str:
+    """Inner accumulation structure (``DDPM3D_S8_KSTYLE``):
+
+    - ``im2col`` (default): build the (m, kd*kh*kw*Cin) patch matrix in
+      VMEM (27 aligned sub-block copies from the haloed input) and run
+      ONE s8 matmul — the full 27-tap reduction rides the MXU's internal
+      K accumulation, like XLA's winning ``concat`` schedule but without
+      the kd*C HBM materialisation. Measured 375 vs 263 TOPS against the
+      27-matmul variant at the flagship full-res shape (round 5).
+    - ``taps27``: 27 small K=Cin matmuls with int32 adds between them —
+      the adds are VPU work between MXU calls and cost ~1/3 of the
+      kernel's time at K=128; kept for A/B and as the low-VMEM fallback.
+    """
+    import os
+
+    return os.environ.get("DDPM3D_S8_KSTYLE", "im2col").lower()
+
+
 def _pick_blocks(D: int, H: int, W: int, Cin: int, Cout: int,
-                 kd: int, kh: int) -> Optional[Tuple[int, int]]:
+                 kd: int, kh: int, kw: int = 3,
+                 kstyle: Optional[str] = None) -> Optional[Tuple[int, int]]:
     """Largest (dblk, hblk) dividing (D, H) whose working set fits VMEM,
     or None when no block does (huge-channel middle convs: their weights
     alone blow the budget — negligible FLOPs, XLA keeps them).
 
-    int8 x halves the input-buffer cost of the bf16 twin; the f32
-    accumulator (4 B/elem) dominates, so blocks skew larger in (d, h)
-    than conv3d_mxu's for the same budget.
+    int8 x halves the input-buffer cost of the bf16 twin; under
+    ``im2col`` the (m, kd*kh*kw*Cin) patch scratch dominates, so blocks
+    are smaller in (d, h) than the ``taps27`` variant's.
     """
+    kstyle = kstyle or _kstyle()
     budget = 11 * 2 ** 20
     best = None
     best_score = -1.0
@@ -134,7 +166,8 @@ def _pick_blocks(D: int, H: int, W: int, Cin: int, Cout: int,
             acc = m * Cout * 4                                # f32
             akw = Db * Hb * W * Cin                           # relayout copy
             wts = kd * kh * 3 * Cin * Cout                    # int8 + copies
-            if xbuf + outb + acc + akw + wts > budget:
+            patch = m * kd * kh * kw * Cin if kstyle == "im2col" else 0
+            if xbuf + outb + acc + akw + wts + patch > budget:
                 continue
             score = min(m, 8192) - (Db * Hb * (W + 2)) / (dblk * hblk * W)
             if score > best_score:
@@ -193,6 +226,63 @@ def _conv_kernel(
     out_ref[:] = out.reshape(1, dblk, hblk, W, Cout).astype(out_dtype)
 
 
+def _conv_kernel_im2col(
+    x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf, patch, sem, *,
+    nD, nH, dblk, hblk, kd, kh, kw, W, Cin, Cout, nblocks, out_dtype,
+):
+    """im2col K-style: fill a (dblk, hblk, W, kw*kd*kh*Cin) VMEM patch
+    with 27 aligned sub-block copies (3 sublane-shift relayouts for kw,
+    then major-offset copies), then ONE (m, 27*Cin) x (27*Cin, Cout) s8
+    matmul — the whole tap reduction accumulates INSIDE the MXU instead
+    of as 26 VPU int32 adds between K=Cin matmuls (the measured 263 vs
+    375 TOPS gap of the taps27 variant, round 5). ``w_ref`` is the
+    (kw*kd*kh*Cin, Cout) flattened kernel in matching column order."""
+    pid = pl.program_id(0)
+    Db = dblk + kd - 1
+    Hb = hblk + kh - 1
+
+    def dma(p, slot):
+        b = p // (nD * nH)
+        r = p % (nD * nH)
+        di = r // nH
+        hi = r % nH
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(di * dblk, Db), pl.ds(hi * hblk, Hb)],
+            xbuf.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(pid, 2)
+
+    @pl.when(pid == 0)
+    def _():
+        dma(pid, slot).start()
+
+    @pl.when(pid + 1 < nblocks)
+    def _():
+        dma(pid + 1, jax.lax.rem(pid + 1, 2)).start()
+
+    dma(pid, slot).wait()
+
+    xb = xbuf[slot]  # (Db, Hb, W + pad, Cin) int8
+    for kwi in range(kw):
+        akw = xb[:, :, kwi:kwi + W, :]  # one relayout per kw shift
+        for kdi in range(kd):
+            for khi in range(kh):
+                idx = (kwi * kd + kdi) * kh + khi
+                patch[:, :, :, idx * Cin:(idx + 1) * Cin] = (
+                    akw[kdi:kdi + dblk, khi:khi + hblk]
+                )
+    m = dblk * hblk * W
+    acc = jax.lax.dot_general(
+        patch[:].reshape(m, kd * kh * kw * Cin), w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    out_ref[:] = out.reshape(1, dblk, hblk, W, Cout).astype(out_dtype)
+
+
 def conv3d_s8(
     xq: jnp.ndarray,
     kq: jnp.ndarray,
@@ -230,8 +320,12 @@ def conv3d_s8(
     scale2d = scale.reshape(1, Cout).astype(jnp.float32)
     bias2d = bias.reshape(1, Cout).astype(jnp.float32)
 
+    kstyle = _kstyle()
     if block_d is None or block_h is None:
-        picked = _pick_blocks(D, H, W, Cin, Cout, kd, kh)
+        picked = _pick_blocks(D, H, W, Cin, Cout, kd, kh, kw, kstyle)
+        if picked is None and kstyle == "im2col":
+            kstyle = "taps27"  # patch scratch doesn't fit; small-K path
+            picked = _pick_blocks(D, H, W, Cin, Cout, kd, kh, kw, kstyle)
         assert picked is not None, "check conv3d_s8_applicable first"
         block_d, block_h = picked
     dblk, hblk = block_d, block_h
@@ -246,11 +340,32 @@ def conv3d_s8(
         + B * D * H * W * Cout * jnp.dtype(out_dtype).itemsize
     )
 
-    grid_kernel = functools.partial(
-        _conv_kernel,
-        nD=nD, nH=nH, dblk=dblk, hblk=hblk, kd=kd, kh=kh, kw=kw,
-        W=W, Cin=Cin, Cout=Cout, nblocks=nblocks, out_dtype=out_dtype,
-    )
+    if kstyle == "im2col":
+        # column order (kwi, kdi, khi) matches the kernel's fill loop
+        wk = jnp.transpose(kq, (2, 0, 1, 3, 4)).reshape(
+            kw * kd * kh * Cin, Cout
+        )
+        grid_kernel = functools.partial(
+            _conv_kernel_im2col,
+            nD=nD, nH=nH, dblk=dblk, hblk=hblk, kd=kd, kh=kh, kw=kw,
+            W=W, Cin=Cin, Cout=Cout, nblocks=nblocks, out_dtype=out_dtype,
+        )
+        scratch = [
+            pltpu.VMEM((2, Db, Hb, Wp, Cin), jnp.int8),
+            pltpu.VMEM((dblk, hblk, W, kd * kh * kw * Cin), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        wk = kq
+        grid_kernel = functools.partial(
+            _conv_kernel,
+            nD=nD, nH=nH, dblk=dblk, hblk=hblk, kd=kd, kh=kh, kw=kw,
+            W=W, Cin=Cin, Cout=Cout, nblocks=nblocks, out_dtype=out_dtype,
+        )
+        scratch = [
+            pltpu.VMEM((2, Db, Hb, Wp, Cin), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     return pl.pallas_call(
         grid_kernel,
         grid=(nblocks,),
@@ -266,10 +381,7 @@ def conv3d_s8(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W, Cout), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, Db, Hb, Wp, Cin), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
@@ -277,4 +389,4 @@ def conv3d_s8(
             flops=flops, bytes_accessed=bytes_acc, transcendentals=0
         ),
         interpret=interpret,
-    )(xp, kq, scale2d, bias2d)
+    )(xp, wk, scale2d, bias2d)

@@ -428,8 +428,12 @@ def int8_impl() -> str:
     all-taps 91.6 — and native LOSES decisively at step level despite
     skipping the tap-building elementwise: all-native 315.2, native at
     the full-res sites only 129.4/114.9 ms/step. XLA's 5-D NDHWC s8
-    conv schedule is the bottleneck, not the concat materialisation —
-    which is exactly the gap the pallas kernel targets (round 5)."""
+    conv schedule is the bottleneck, not the concat materialisation.
+    The ``pallas`` lowering was the round-5 attempt to beat ``concat``
+    and measured a decisive NEGATIVE (S8_KERNEL_STUDY.md): all_pallas
+    109.1 ms/step vs 87.4, because XLA's isolated s8 concat convs
+    already run at 91-98% of the int8 MXU ceiling. It stays as
+    benchmarked-off infrastructure."""
     return os.environ.get("DDPM3D_INT8_IMPL", "concat").lower()
 
 
