@@ -129,99 +129,121 @@ def main():
         logger.log("WARNING: no --model_path given; using random init")
         params = variables["params"]
 
-    logger.log("loading data...")
-    vol = load_volume_for_denoising(args.base_samples)
-    logger.log(
-        "Using original data without normalization - "
-        f"min: {vol.min():.4f}, max: {vol.max():.4f}, std: {vol.std():.4f}"
-    )
-
-    # Fixed seed parity with the reference (scripts/test.py:44-49) via an
-    # explicit PRNG key.
-    key = jax.random.key(args.seed)
-    logger.log(f"Fixed seed set to {args.seed}")
-
-    # Exact-parity path: replicate the reference's torch global-RNG noise
-    # stream (scripts/test.py:44-49,62 + gd.py:430 draw order: per patch,
-    # x_T then one draw per reverse step) and inject it into the chain.
-    noise = noise_stream = None
-    if args.torch_noise_seed >= 0:
-        import torch as th
-
-        from ddpm3d_tpu.data.patches import (
-            patch_grid, test_xy_starts, test_z_starts,
-        )
-
-        Z, H, W = vol.shape
-        ps = args.large_size
-        n_patches = len(patch_grid(
-            test_xy_starts(H, ps, 3), test_xy_starts(W, ps, 3),
-            test_z_starts(Z, ps),
-        ))
-        T = sched.num_timesteps
-        th.manual_seed(args.torch_noise_seed)
-        consumed = {"next": 0}
-
-        def noise_stream(lo, hi):
-            # Memory-bounded provider: draws are generated per chunk in the
-            # reference's exact order (per patch: x_T then one randn per
-            # reverse step), so only one chunk's noises exist at a time —
-            # the full array would be P*(T+1)*96^3*4 B ~ 64 GB at
-            # production settings.
-            assert lo == consumed["next"], "noise stream consumed in order"
-            xTs, streams = [], []
-            for _ in range(lo, hi):
-                xTs.append(th.randn(1, 1, ps, ps, ps).numpy()[0, 0])
-                streams.append(np.stack([
-                    th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
-                    for _ in range(T)
-                ]))
-            consumed["next"] = hi
-            return (np.stack(xTs).astype(np.float32),
-                    np.stack(streams).astype(np.float32))
-
+    # Multi-volume serving: --base_samples accepts a comma-separated list
+    # (beyond-reference; the reference runs one volume per mpiexec launch,
+    # /root/reference/scripts/test.py:185-246). One process amortizes the
+    # ~2 min of fixed cost (imports, checkpoint load/upload, executable-
+    # cache restore) across volumes; every volume re-derives its noise
+    # from --seed + global patch ids exactly as a fresh process would, so
+    # outputs are bit-identical to per-volume invocations
+    # (tests/test_pipeline_cli.py).
+    vol_paths = [p for p in args.base_samples.split(",") if p]
+    mesh = make_mesh()
+    for vi, vol_path in enumerate(vol_paths):
+        logger.log("loading data...")
+        vol = load_volume_for_denoising(vol_path)
         logger.log(
-            f"torch-matched noise stream: seed {args.torch_noise_seed}, "
-            f"{n_patches} patches x {T} steps (chunk-lazy)"
+            "Using original data without normalization - "
+            f"min: {vol.min():.4f}, max: {vol.max():.4f}, std: {vol.std():.4f}"
         )
 
-    logger.log("creating samples...")
-    result, stats = denoise_volume(
-        key,
-        model.apply,
-        params,
-        sched,
-        cfg,
-        vol,
-        noise=noise,
-        noise_stream=noise_stream,
-        patch_size=args.large_size,
-        use_ddim=args.use_ddim,
-        eta=args.eta,
-        use_dpm_solver=args.use_dpm_solver,
-        dpm_order=args.dpm_order,
-        clip_denoised=args.clip_denoised,
-        mesh=make_mesh(),
-        per_device_batch=args.batch_size,
-        blend=args.blend,
-        normalize_div4=args.normalize_div4,
-        num_samples=args.num_samples,
-        segment_steps=args.segment_steps,
-    )
+        # Fixed seed parity with the reference (scripts/test.py:44-49) via
+        # an explicit PRNG key (fresh per volume: volumes are independent).
+        key = jax.random.key(args.seed)
+        logger.log(f"Fixed seed set to {args.seed}")
 
-    save_outputs(logger.get_dir(), args.base_samples, result)
-    if "uncertainty_hwz" in stats and jax.process_index() == 0:
-        from ddpm3d_tpu.data import tiff_io
+        # Exact-parity path: replicate the reference's torch global-RNG
+        # noise stream (scripts/test.py:44-49,62 + gd.py:430 draw order:
+        # per patch, x_T then one draw per reverse step) and inject it.
+        noise = noise_stream = None
+        if args.torch_noise_seed >= 0:
+            import torch as th
 
-        unc_path = os.path.join(
-            logger.get_dir(),
-            f"uncertainty_{os.path.basename(args.base_samples).rsplit('.', 1)[0]}.tif",
+            from ddpm3d_tpu.data.patches import (
+                patch_grid, test_xy_starts, test_z_starts,
+            )
+
+            Z, H, W = vol.shape
+            ps = args.large_size
+            n_patches = len(patch_grid(
+                test_xy_starts(H, ps, 3), test_xy_starts(W, ps, 3),
+                test_z_starts(Z, ps),
+            ))
+            T = sched.num_timesteps
+            th.manual_seed(args.torch_noise_seed)
+            consumed = {"next": 0}
+
+            def noise_stream(lo, hi):
+                # Memory-bounded provider: draws are generated per chunk in
+                # the reference's exact order (per patch: x_T then one randn
+                # per reverse step), so only one chunk's noises exist at a
+                # time — the full array would be P*(T+1)*96^3*4 B ~ 64 GB at
+                # production settings.
+                assert lo == consumed["next"], (
+                    "noise stream consumed in order")
+                xTs, streams = [], []
+                for _ in range(lo, hi):
+                    xTs.append(th.randn(1, 1, ps, ps, ps).numpy()[0, 0])
+                    streams.append(np.stack([
+                        th.randn(1, 1, ps, ps, ps).numpy()[0, 0]
+                        for _ in range(T)
+                    ]))
+                consumed["next"] = hi
+                return (np.stack(xTs).astype(np.float32),
+                        np.stack(streams).astype(np.float32))
+
+            logger.log(
+                f"torch-matched noise stream: seed {args.torch_noise_seed}, "
+                f"{n_patches} patches x {T} steps (chunk-lazy)"
+            )
+
+        logger.log("creating samples...")
+        result, stats = denoise_volume(
+            key,
+            model.apply,
+            params,
+            sched,
+            cfg,
+            vol,
+            noise=noise,
+            noise_stream=noise_stream,
+            patch_size=args.large_size,
+            use_ddim=args.use_ddim,
+            eta=args.eta,
+            use_dpm_solver=args.use_dpm_solver,
+            dpm_order=args.dpm_order,
+            clip_denoised=args.clip_denoised,
+            mesh=mesh,
+            per_device_batch=args.batch_size,
+            blend=args.blend,
+            normalize_div4=args.normalize_div4,
+            num_samples=args.num_samples,
+            segment_steps=args.segment_steps,
         )
-        tiff_io.imwrite(
-            unc_path,
-            stats["uncertainty_hwz"].transpose(2, 0, 1).astype(np.float32),
-        )
-        logger.log(f"Saved uncertainty map: {unc_path}")
+
+        save_outputs(logger.get_dir(), vol_path, result)
+        if "uncertainty_hwz" in stats and jax.process_index() == 0:
+            from ddpm3d_tpu.data import tiff_io
+
+            unc_path = os.path.join(
+                logger.get_dir(),
+                "uncertainty_"
+                f"{os.path.basename(vol_path).rsplit('.', 1)[0]}.tif",
+            )
+            tiff_io.imwrite(
+                unc_path,
+                stats["uncertainty_hwz"].transpose(2, 0, 1).astype(
+                    np.float32),
+            )
+            logger.log(f"Saved uncertainty map: {unc_path}")
+        if len(vol_paths) > 1:
+            # one parseable line per volume for harnesses
+            # (tools/volume_quality.py reads the wall time back)
+            logger.log(
+                f"multi-volume [{vi + 1}/{len(vol_paths)}] "
+                f"{os.path.basename(vol_path)}: sampling "
+                f"{stats['sample_wall_s']:.1f}s wall"
+            )
     logger.log("Full image denoising complete")
 
 

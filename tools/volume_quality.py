@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--platform", default="",
                     help="forwarded to scripts/test.py (e.g. cpu smokes)")
+    ap.add_argument("--timeout_s", type=int, default=36000,
+                    help="per-config subprocess timeout (one process now "
+                    "denoises every missing volume of a config)")
     args = ap.parse_args()
 
     names = sorted(os.listdir(args.eval_low_dir))
@@ -158,7 +161,8 @@ def main():
                 "normalize_div4": True,
                 "seam_voxels": int(seam.sum()),
                 "interior_voxels": int(interior.sum()),
-                "pipeline": "scripts/test.py subprocess per (volume, config)",
+                "pipeline": ("scripts/test.py subprocess per config "
+                             "(multi-volume --base_samples)"),
                 "partial": partial,
             },
             "results": results,
@@ -169,6 +173,39 @@ def main():
         os.replace(tmp, args.out)
 
     wall_re = re.compile(r"sampling ([0-9.]+)s wall")
+    mv_wall_re = re.compile(
+        r"multi-volume \[\d+/\d+\] (\S+): sampling ([0-9.]+)s wall")
+
+    def base_cmd(respacing, sampler, precision):
+        cmd = [
+            sys.executable, TEST_PY,
+            "--model_path", args.model_path,
+            "--large_size", str(args.patch_size),
+            "--num_channels", str(args.num_channels),
+            "--num_res_blocks", str(args.num_res_blocks),
+            "--num_head_channels", str(args.num_head_channels),
+            "--attention_resolutions", args.attention_resolutions,
+            "--learn_sigma", args.learn_sigma,
+            "--predict_v", args.predict_v,
+            "--use_scale_shift_norm", args.use_scale_shift_norm,
+            "--resblock_updown", args.resblock_updown,
+            "--diffusion_steps", "1000",
+            "--noise_schedule", "linear",
+            "--timestep_respacing", respacing,
+            "--use_ddim", str(sampler == "ddim"),
+            "--batch_size", str(args.batch_size),
+            "--segment_steps", str(args.segment_steps),
+            "--normalize_div4", "True",
+            "--blend", args.blend,
+            "--seed", str(args.seed),
+        ]
+        if precision == "int8":
+            cmd += ["--int8", "True"]
+            if args.int8_scales:
+                cmd += ["--int8_scales", args.int8_scales]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        return cmd
 
     for spec in args.configs.split(","):
         spec = spec.strip()
@@ -187,84 +224,80 @@ def main():
 
         cfg_dir = osp.join(args.workdir, f"{sampler}{steps}_{precision}")
         os.makedirs(cfg_dir, exist_ok=True)
+        walls_json = osp.join(cfg_dir, "walls.json")
+        walls_by_stem = {}
+        if osp.exists(walls_json):
+            with open(walls_json) as f:
+                walls_by_stem = json.load(f)
+
+        def tif_for(n):
+            # flat layout (one multi-volume process per config); legacy
+            # per-volume-subprocess layout checked for resume compat
+            stem = osp.splitext(n)[0]
+            flat = osp.join(cfg_dir, f"denoised_{stem}.tif")
+            legacy = osp.join(cfg_dir, stem, f"denoised_{stem}.tif")
+            return flat if osp.exists(flat) or not osp.exists(
+                legacy) else legacy
+
+        # one scripts/test.py process denoises every missing volume of
+        # this config (--base_samples list): checkpoint load + executable
+        # start amortize (~2 min fixed cost per process, measured round 4:
+        # 409 s/volume wall vs ~46 s model time at ddpm25-int8)
+        missing = [
+            (n, lo) for n, lo, _ in pairs[:n_vols]
+            if not osp.exists(tif_for(n))
+        ]
+        if missing:
+            cmd = base_cmd(respacing, sampler, precision) + [
+                "--base_samples", ",".join(lo for _, lo in missing),
+                "--save_dir", cfg_dir,
+            ]
+            t0 = time.time()
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=args.timeout_s,
+            )
+            wall = time.time() - t0
+            if proc.returncode != 0:
+                print(proc.stdout[-3000:])
+                print(proc.stderr[-3000:])
+                raise RuntimeError(f"{spec} on {[n for n, _ in missing]} "
+                                   "failed")
+            txt = proc.stdout + proc.stderr
+            for stem_name, w in mv_wall_re.findall(txt):
+                walls_by_stem[osp.splitext(stem_name)[0]] = float(w)
+            if len(missing) == 1 and not mv_wall_re.search(txt):
+                mw = wall_re.search(txt)
+                walls_by_stem[osp.splitext(missing[0][0])[0]] = (
+                    float(mw.group(1)) if mw else wall)
+            with open(walls_json, "w") as f:
+                json.dump(walls_by_stem, f)
+
         rows, walls = [], []
         for n, lo, _ in pairs[:n_vols]:
-            out_tif = osp.join(
-                cfg_dir, osp.splitext(n)[0],
-                f"denoised_{osp.splitext(n)[0]}.tif",
-            )
-            if osp.exists(out_tif):
-                out = tiff_io.imread(out_tif)
-                assert out.shape == shape, (out.shape, shape)
-                rows.append(vol_metrics(out, cleans[n]))
-                # the original run's wall time survives in the CLI's own
-                # log.txt next to the tif — recover it so resumed rows
-                # keep their tool-emitted timing instead of nulling it
+            stem = osp.splitext(n)[0]
+            out_tif = tif_for(n)
+            out = tiff_io.imread(out_tif)
+            assert out.shape == shape, (out.shape, shape)
+            rows.append(vol_metrics(out, cleans[n]))
+            if stem in walls_by_stem:
+                walls.append(walls_by_stem[stem])
+            else:
+                # legacy per-volume run: wall survives in its log.txt
                 logf = osp.join(osp.dirname(out_tif), "log.txt")
                 if osp.exists(logf):
                     with open(logf) as f:
                         mw = wall_re.search(f.read())
                     if mw:
                         walls.append(float(mw.group(1)))
-                results[spec] = agg(rows, extra={
-                    "sampling_wall_s_mean": (
-                        round(float(np.mean(walls)), 1) if walls else None
-                    ),
-                })
-                flush(partial=True)
-                print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB "
-                      f"(resumed from disk)", flush=True)
-                continue
-            cmd = [
-                sys.executable, TEST_PY,
-                "--base_samples", lo,
-                "--model_path", args.model_path,
-                "--save_dir", osp.join(cfg_dir, osp.splitext(n)[0]),
-                "--large_size", str(args.patch_size),
-                "--num_channels", str(args.num_channels),
-                "--num_res_blocks", str(args.num_res_blocks),
-                "--num_head_channels", str(args.num_head_channels),
-                "--attention_resolutions", args.attention_resolutions,
-                "--learn_sigma", args.learn_sigma,
-                "--predict_v", args.predict_v,
-                "--use_scale_shift_norm", args.use_scale_shift_norm,
-                "--resblock_updown", args.resblock_updown,
-                "--diffusion_steps", "1000",
-                "--noise_schedule", "linear",
-                "--timestep_respacing", respacing,
-                "--use_ddim", str(sampler == "ddim"),
-                "--batch_size", str(args.batch_size),
-                "--segment_steps", str(args.segment_steps),
-                "--normalize_div4", "True",
-                "--blend", args.blend,
-                "--seed", str(args.seed),
-            ]
-            if precision == "int8":
-                cmd += ["--int8", "True"]
-                if args.int8_scales:
-                    cmd += ["--int8_scales", args.int8_scales]
-            if args.platform:
-                cmd += ["--platform", args.platform]
-            t0 = time.time()
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=7200
-            )
-            wall = time.time() - t0
-            if proc.returncode != 0:
-                print(proc.stdout[-3000:])
-                print(proc.stderr[-3000:])
-                raise RuntimeError(f"{spec} on {n} failed")
-            mw = wall_re.search(proc.stdout + proc.stderr)
-            walls.append(float(mw.group(1)) if mw else wall)
-            out = tiff_io.imread(out_tif)
-            assert out.shape == shape, (out.shape, shape)
-            rows.append(vol_metrics(out, cleans[n]))
             results[spec] = agg(rows, extra={
-                "sampling_wall_s_mean": round(float(np.mean(walls)), 1),
+                "sampling_wall_s_mean": (
+                    round(float(np.mean(walls)), 1) if walls else None
+                ),
             })
             flush(partial=True)
-            print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB "
-                  f"(sampling {walls[-1]:.0f}s)", flush=True)
+            print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB",
+                  flush=True)
         print(f"== {spec}: {json.dumps(results[spec])}", flush=True)
 
     flush(partial=False)
