@@ -73,7 +73,12 @@ def main():
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--configs", default="ddpm25:bf16,ddpm25:int8,"
                     "ddpm250:bf16@4,ddpm250:int8@4")
-    ap.add_argument("--int8_scales", default="")
+    ap.add_argument("--int8_scales", default="",
+                    help="static int8 scales file for int8 configs; or a "
+                    "respacing->file map '25:f25.json,1000:f1000.json' "
+                    "(per-time-bin files are respacing-specific: the bin "
+                    "index maps the served chain's step range, "
+                    "ops/quant.py:quant_scales_collection)")
     ap.add_argument("--n_volumes", type=int, default=8,
                     help="default volumes per config (@N overrides)")
     ap.add_argument("--batch_size", type=int, default=3)
@@ -201,8 +206,19 @@ def main():
         ]
         if precision == "int8":
             cmd += ["--int8", "True"]
-            if args.int8_scales:
-                cmd += ["--int8_scales", args.int8_scales]
+            scales = args.int8_scales
+            if (scales and ":" in scales
+                    and not scales.startswith("const:")):
+                mapped = dict(
+                    kv.split(":", 1) for kv in scales.split(",") if kv
+                )
+                scales = mapped.get(respacing, "")
+                if not scales:
+                    print(f"NOTE: no int8 scales mapped for respacing "
+                          f"{respacing}; running dynamic scales",
+                          flush=True)
+            if scales:
+                cmd += ["--int8_scales", scales]
         if args.platform:
             cmd += ["--platform", args.platform]
         return cmd
