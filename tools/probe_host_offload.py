@@ -5,8 +5,8 @@ The flagship training step floor is ~471 ms with resolution-aware remat
 activations are HBM-infeasible at 16 GB, costing ~46 ms/step of forward
 recompute. The one untried alternative (round-4 verdict #7) is to keep
 those activations but move them to host memory during the forward pass
-and fetch them back in the backward (jax.checkpoint policy
-``save_and_offload_only_these_names`` / pinned_host memory space).
+and fetch them back in the backward (``jax.checkpoint`` offload policies
+/ ``memory_kind="pinned_host"`` shardings).
 
 Whether that can win is pure bandwidth math:
 
@@ -15,20 +15,18 @@ Whether that can win is pure bandwidth math:
 
 The tagged set at the flagship config (96^3/128ch, 2 res blocks,
 channel_mult 1,1,2,3,4): each full-res ResBlock holds two
-(96^3, 128ch) bf16 interiors (~217 MiB each); level 0+1 remat 8 blocks
-(in1_0, in2_0, in3_0@48^2 x2ch, out12..14 + up) — >= 3.4 GiB one-way
-even offloading only the two interiors of the four 96^3 blocks.
+(96^3, 128ch) bf16 interiors (~217 MiB each); offloading only the two
+interiors of the four 96^3 blocks is ~1.7 GiB each way per step.
 
-This tool MEASURES the two inputs of that inequality on the real chip:
+This tool MEASURES device<->pinned_host bandwidth ON the device host
+(not through any client relay): K transfer round-trips are compiled into
+ONE jitted program via ``jax.device_put`` to a ``pinned_host``
+memory-kind sharding with ``optimization_barrier`` between hops, so a
+single dispatch times K round-trips and the per-call overhead amortizes
+away. A K-scaling check (2K must take ~2x) guards against XLA eliding
+the copies.
 
-  1. device->pinned_host and pinned_host->device throughput for a
-     217 MiB bf16 activation (jax.device_put with TransferToMemoryKind),
-     amortized over repeats;
-  2. the remat recompute cost it would have to beat, re-derived from the
-     committed round-3 A/B (REMAT_DS=1 vs 2 deltas) rather than re-run.
-
-Run on-chip:  python tools/probe_host_offload.py
-Writes HOST_OFFLOAD_PROBE.json next to the repo root when --out is set.
+Run on-chip:  python tools/probe_host_offload.py --out HOST_OFFLOAD_PROBE.json
 """
 
 import argparse
@@ -47,11 +45,13 @@ def main():
     ap.add_argument("--mb", type=float, default=217.0,
                     help="activation size to probe (MiB); default = one "
                     "(96^3, 128) bf16 interior")
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--k", type=int, default=4,
+                    help="round-trips fused into one timed program")
+    ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--recompute_ms", type=float, default=46.0,
                     help="the remat recompute this must beat (README "
-                    "round-3: ds<=2 remat saves ~46 ms of low-res "
-                    "recompute; the 96^2-level recompute is the cost)")
+                    "round-3: resolution-aware remat attributes ~46 ms "
+                    "of the 471 ms step to ds<=2 forward recompute)")
     ap.add_argument("--blocks", type=int, default=4,
                     help="full-res ResBlocks whose interiors would be "
                     "offloaded")
@@ -61,74 +61,70 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     dev = jax.devices()[0]
-    n = int(args.mb * 2 ** 20 / 2)  # bf16 elements
-    x_host = np.zeros((n,), np.float16).view(np.uint16)  # raw 2B payload
-
+    mesh = Mesh(np.array([dev]), ("d",))
+    s_dev = NamedSharding(mesh, P(), memory_kind="device")
     try:
-        from jax._src.sharding_impls import TransferToMemoryKind
+        s_host = NamedSharding(mesh, P(), memory_kind="pinned_host")
+    except Exception as e:  # pragma: no cover — backend-dependent
+        print(f"pinned_host memory kind unavailable: {e}", flush=True)
+        return
 
-        to_host = TransferToMemoryKind("pinned_host")
-        to_dev = TransferToMemoryKind("device")
-        x_dev = jax.device_put(jnp.zeros((n,), jnp.bfloat16), dev)
-        x_dev.block_until_ready()
-        # warm both directions once
-        h = jax.device_put(x_dev, to_host)
-        h.block_until_ready()
-        d = jax.device_put(h, to_dev)
-        d.block_until_ready()
+    n = int(args.mb * 2 ** 20 / 2)  # bf16 elements
+    x0 = jax.device_put(jnp.zeros((n,), jnp.bfloat16), s_dev)
+    x0.block_until_ready()
 
-        def bw(fn, src):
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                y = fn(src)
-                y.block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            return (n * 2) / best / 1e9, best * 1e3  # GB/s, ms
+    def make_roundtrip(k):
+        @jax.jit
+        def rt(x):
+            for _ in range(k):
+                h = jax.device_put(x, s_host)
+                h = jax.lax.optimization_barrier(h)
+                x = jax.device_put(h, s_dev)
+                x = jax.lax.optimization_barrier(x)
+            # force a real consumer so the last hop materializes
+            return jnp.sum(x[:8].astype(jnp.float32))
 
-        d2h_gbs, d2h_ms = bw(lambda s: jax.device_put(s, to_host), x_dev)
-        h2d_gbs, h2d_ms = bw(lambda s: jax.device_put(s, to_dev), h)
-        mode = "pinned_host"
-    except Exception as e:  # pragma: no cover - depends on runtime support
-        print(f"pinned_host memory space unavailable ({e}); "
-              "falling back to host numpy round-trip", flush=True)
-        x_dev = jax.device_put(jnp.zeros((n,), jnp.bfloat16), dev)
-        x_dev.block_until_ready()
+        return rt
 
-        def bw_np(fn):
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                fn()
-                best = min(best, time.perf_counter() - t0)
-            return (n * 2) / best / 1e9, best * 1e3
+    def best_time(fn, x):
+        float(fn(x))  # compile + warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-        d2h_gbs, d2h_ms = bw_np(lambda: np.asarray(x_dev))
-        h2d_gbs, h2d_ms = bw_np(
-            lambda: jax.device_put(x_host, dev).block_until_ready())
-        mode = "host_numpy"
+    tk = best_time(make_roundtrip(args.k), x0)
+    t2k = best_time(make_roundtrip(2 * args.k), x0)
+    # subtract the dispatch floor via two-point: extra K round-trips cost
+    marginal = t2k - tk  # seconds for args.k EXTRA round-trips
+    if marginal <= 0:
+        print("WARNING: 2K program not slower than K — XLA likely elided "
+              "the copies; numbers below are invalid", flush=True)
+    per_rt = marginal / args.k           # one round-trip (out + back)
+    bw_gbs = (2 * n * 2) / per_rt / 1e9  # bytes both ways / time
 
     tensors = args.blocks * args.tensors_per_block
     bytes_one_way = tensors * n * 2
-    t_out = bytes_one_way / (d2h_gbs * 1e9) * 1e3
-    t_back = bytes_one_way / (h2d_gbs * 1e9) * 1e3
-    # offload transfers overlap compute at best; even with PERFECT overlap
-    # the link must move the bytes within the recompute budget it replaces
-    total_ms = t_out + t_back
+    total_ms = (2 * bytes_one_way) / (bw_gbs * 1e9) * 1e3
     verdict = (
-        "WIN possible (bandwidth < recompute; try the policy for real)"
+        "WIN possible (transfer fits the recompute budget; try the "
+        "offload policy for real)"
         if total_ms < args.recompute_ms else
-        "NEGATIVE: link bandwidth cannot beat recompute"
+        "NEGATIVE: host link bandwidth cannot beat remat recompute"
     )
     result = {
-        "mode": mode,
         "probe_mib": args.mb,
-        "d2h_gbps": round(d2h_gbs, 2),
-        "h2d_gbps": round(h2d_gbs, 2),
-        "d2h_ms_per_tensor": round(d2h_ms, 2),
-        "h2d_ms_per_tensor": round(h2d_ms, 2),
+        "k": args.k,
+        "t_k_ms": round(tk * 1e3, 2),
+        "t_2k_ms": round(t2k * 1e3, 2),
+        "k_scaling_valid": bool(marginal > 0.25 * tk),
+        "roundtrip_ms_per_tensor": round(per_rt * 1e3, 2),
+        "effective_bidir_gbps": round(bw_gbs, 2),
         "offload_tensors": tensors,
         "offload_gib_one_way": round(bytes_one_way / 2 ** 30, 2),
         "transfer_ms_per_step_total": round(total_ms, 1),
