@@ -14,10 +14,16 @@ B*D-folded lowering (ops/conv3d.py:conv3d_folded):
   independent (see quantize_act). Optionally STATIC per-conv-site scales
   calibrated offline over a real sampling chain (tools/calibrate_int8.py
   -> DDPM3D_INT8_SCALES=<json>): the on-chip abs-max reductions — ~9
-  ms/step of the measured int8 step — become trace-time constants. The
-  GroupNorm islands renormalize every block, so per-site ranges are
-  nearly timestep-invariant in practice; the calibration file records
-  the per-step spread so that assumption is checked per checkpoint;
+  ms/step of the measured int8 step — become trace-time constants.
+  Per-site ranges are NOT timestep-invariant: the committed production
+  calibration records up to 38x per-site spread across chain steps
+  (INT8_SCALES_PROD.json meta), so one whole-chain scale wastes up to 5
+  bits of int8 resolution at small-range steps (measured −1.2 dB at
+  ddpm1000, and the mechanism behind the ddim collapse —
+  RESPACING_PROD_R4_INT8*.json). Per-TIME-BIN tables
+  (tools/calibrate_int8.py --time_bins → ``scales_t``; scale_tables /
+  quant_scales_collection below) restore per-step resolution while
+  keeping scales trace-time data;
 - accumulation: int32 on the MXU; depth taps accumulate in int32 and
   dequantize ONCE (they share the activation scale);
 - dequantize: y = y_i32 * (s_x * s_w[c]), fused by XLA into the bias add.

@@ -215,3 +215,81 @@ def test_pipelined_many_chunks(rng, monkeypatch):
         mesh=mesh1,
     )
     np.testing.assert_array_equal(out, out_sync)
+
+
+def test_denoise_volume_per_time_bin_scales(rng, tmp_path, monkeypatch):
+    """The serving pipeline threads per-time-bin int8 scales (scales_t)
+    through the quant_scales collection on the TRACED chain step
+    (pipeline._vars / ops/quant.py:quant_scales_collection): the per-bin
+    values must actually reach the convs — a run with distinct per-bin
+    scales must differ from the whole-chain-scale run, and both must be
+    finite. Runs in sim mode (value-identical fake-quant twin)."""
+    import json
+    import os
+
+    model, sched, cfg, params = _setup()
+    # zero-init head conv (reference semantics) makes a random-init
+    # model output identically 0, which would trivially equalize every
+    # comparison below — perturb all params off their init
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.key(hash(str(p.shape)) % (2**31)), p.shape, p.dtype
+        ),
+        params,
+    )
+    vol = rng.normal(size=(20, 40, 40)).astype(np.float32)
+
+    # discover real conv-site paths via the calibration collection
+    monkeypatch.setenv("DDPM3D_INT8_CALIB", "1")
+    x0 = jnp.zeros((1, 4, 16, 16, 1))
+    _, muts = model.apply(
+        {"params": params}, x0, jnp.zeros((1,), jnp.int32),
+        mutable=["quant_calib"], low_res=x0,
+    )
+    monkeypatch.delenv("DDPM3D_INT8_CALIB")
+
+    def flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if k == "act_absmax":
+                out["/".join(prefix)] = float(np.asarray(v))
+            elif isinstance(v, dict):
+                out.update(flatten(v, prefix + (k,)))
+        return out
+
+    sites = flatten(muts["quant_calib"])
+    assert sites, "no conv sites sown"
+    n_steps = sched.num_timesteps
+    # realistic whole-chain scales from the sown abs-maxima; per-bin
+    # tables with strong contrast at bins>0 so the gather provably
+    # reaches the convs (bin 0 == the whole-chain value)
+    scales = {s: max(a, 1e-3) / 127.0 for s, a in sites.items()}
+    scales_t = {s: [scales[s] * (25.0 ** b) for b in range(n_steps)]
+                for s in sites}
+    f = tmp_path / "scales_t.json"
+    f.write_text(json.dumps({
+        "scales": scales, "scales_t": scales_t,
+        "meta": {"time_bins": n_steps, "chain_steps": n_steps},
+    }))
+
+    def run():
+        return denoise_volume(
+            jax.random.key(0), model.apply, params, sched, cfg, vol,
+            patch_size=16, num_xy_patches=2, mesh=make_mesh(),
+        )[0]
+
+    monkeypatch.setenv("DDPM3D_INT8", "sim")
+    monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f))
+    out_binned = run()
+    assert np.isfinite(out_binned).all()
+
+    # same file minus scales_t -> whole-chain scales; must differ
+    f2 = tmp_path / "scales_flat.json"
+    f2.write_text(json.dumps({
+        "scales": scales,
+        "meta": {"time_bins": 0, "chain_steps": n_steps},
+    }))
+    monkeypatch.setenv("DDPM3D_INT8_SCALES", str(f2))
+    out_flat = run()
+    assert np.isfinite(out_flat).all()
+    assert np.abs(out_binned - out_flat).max() > 1e-4
