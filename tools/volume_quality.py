@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--timeout_s", type=int, default=36000,
                     help="per-config subprocess timeout (one process now "
                     "denoises every missing volume of a config)")
+    ap.add_argument("--score_only", action="store_true",
+                    help="score whatever denoised tifs exist in the "
+                    "workdir without launching any sampling — finalize a "
+                    "budget-truncated run with honest per-row n_volumes")
     args = ap.parse_args()
 
     names = sorted(os.listdir(args.eval_low_dir))
@@ -263,6 +267,10 @@ def main():
             (n, lo) for n, lo, _ in pairs[:n_vols]
             if not osp.exists(tif_for(n))
         ]
+        if missing and args.score_only:
+            print(f"{spec}: score_only — {len(missing)} volumes not "
+                  "sampled, scoring the rest", flush=True)
+            missing = []
         if missing:
             cmd = base_cmd(respacing, sampler, precision) + [
                 "--base_samples", ",".join(lo for _, lo in missing),
@@ -293,6 +301,8 @@ def main():
         for n, lo, _ in pairs[:n_vols]:
             stem = osp.splitext(n)[0]
             out_tif = tif_for(n)
+            if not osp.exists(out_tif):
+                continue  # score_only: row keeps honest n_volumes
             out = tiff_io.imread(out_tif)
             assert out.shape == shape, (out.shape, shape)
             rows.append(vol_metrics(out, cleans[n]))
@@ -314,7 +324,10 @@ def main():
             flush(partial=True)
             print(f"{spec} {n}: psnr {rows[-1]['psnr_db']:.2f} dB",
                   flush=True)
-        print(f"== {spec}: {json.dumps(results[spec])}", flush=True)
+        if spec in results:
+            print(f"== {spec}: {json.dumps(results[spec])}", flush=True)
+        else:
+            print(f"== {spec}: no volumes scored", flush=True)
 
     flush(partial=False)
     print(f"wrote {args.out}")
