@@ -164,6 +164,10 @@ def main():
         }
         results["fusions"][fusion] = row
         print(f"[{fusion}] {row}", flush=True)
+        # incremental flush: a truncated run (CPU-starved boxes; this is
+        # ~30 min/fusion on one core) keeps every completed fusion row
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
     # ---- EncoderUNetModel as classifier: logits under int8 ----
     t0 = time.time()
