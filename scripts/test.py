@@ -32,22 +32,49 @@ def main():
     if args.int8:
         if args.use_ddim or args.use_dpm_solver:
             # Deterministic chains integrate the signed quantization error
-            # coherently: ddim25 under int8 measured 31.7 dB vs 47.2 bf16
-            # at production shape (RESPACING_PROD_R4_INT8.json), and
-            # DPM-Solver++'s higher-order extrapolation amplified int8
-            # error 3x vs ancestral chains at study scale (−2.07 dB,
-            # RESPACING_VPRED_INT8_CPU.json). Ancestral respacing absorbs
-            # it (<=1.2 dB) because per-step noise decorrelates the bias.
-            # Same guard family as the classifier-guidance refusal in
-            # ops/quant.py.
-            which = "--use_ddim" if args.use_ddim else "--use_dpm_solver"
-            raise SystemExit(
-                f"--int8 with {which} is refused: deterministic chains "
-                "accumulate quantization bias coherently (ddim25 "
-                "measured 31.7 dB vs 47.2 bf16; dpm2m25 −2.07 dB vs "
-                "−0.70 ancestral at study scale). Use ancestral "
-                "respacing (--timestep_respacing 250/25) or drop --int8."
-            )
+            # coherently, and ONE static scale per site across the chain's
+            # per-step range spread collapses them: ddim25 measured
+            # 31.7 dB vs 47.2 bf16 under whole-chain scales
+            # (RESPACING_PROD_R4_INT8.json). PER-TIME-BIN scale tables fix
+            # it — ddim25 int8 measured 43.89 vs 44.83 bf16 (−0.94 dB,
+            # n=16, RESPACING_PROD_R5_INT8_25.json) — so --use_ddim is
+            # allowed (with a warning) when the scales file carries
+            # 'scales_t'; whole-chain files and --use_dpm_solver (never
+            # re-measured; −2.07 dB even under dynamic scales at study
+            # scale) stay refused. Same guard family as the
+            # classifier-guidance refusal in ops/quant.py.
+            def _has_time_bins(fname):
+                if not fname or fname.startswith("const:"):
+                    return False
+                import json as _json
+
+                try:
+                    with open(fname) as f:
+                        return bool(_json.load(f).get("scales_t"))
+                except Exception:
+                    return False
+
+            if args.use_ddim and _has_time_bins(args.int8_scales):
+                import warnings
+
+                warnings.warn(
+                    "--int8 --use_ddim with per-time-bin scales: measured "
+                    "−0.94 dB vs bf16 at n=16 (RESPACING_PROD_R5_INT8_25."
+                    "json); whole-chain static scales would collapse "
+                    "(31.7 dB, round 4) — keep the scales file's bins."
+                )
+            else:
+                which = "--use_ddim" if args.use_ddim else "--use_dpm_solver"
+                raise SystemExit(
+                    f"--int8 with {which} is refused: deterministic chains "
+                    "accumulate quantization bias coherently (ddim25 "
+                    "measured 31.7 dB vs 47.2 bf16 under whole-chain "
+                    "static scales; dpm2m25 −2.07 dB at study scale). "
+                    "Use ancestral respacing (--timestep_respacing "
+                    "250/25), or for DDIM calibrate per-time-bin scales "
+                    "(tools/calibrate_int8.py --time_bins) and pass them "
+                    "via --int8_scales."
+                )
         if args.int8_scales:
             # hard-error on checkpoint/model mismatch, loud warning on
             # sampler/respacing mismatch — a wrong scales file loads

@@ -829,3 +829,46 @@ class TestServingCLIGuards:
                 "--timestep_respacing", "25",
             ])
         assert os.environ.get("DDPM3D_INT8") != "1"
+
+    def test_int8_ddim_allowed_with_time_bins(self, tmp_path, monkeypatch):
+        """Per-time-bin scales fix the ddim collapse (43.89 vs 44.83 bf16,
+        RESPACING_PROD_R5_INT8_25.json), so --int8 --use_ddim passes the
+        guard (with a warning) when the scales file carries scales_t.
+        The deliberate checkpoint mismatch proves control reached the
+        validator — i.e. the ddim refusal did NOT fire."""
+        import json
+
+        f = tmp_path / "binned.json"
+        f.write_text(json.dumps({
+            "scales": {"unet/x": 0.1},
+            "scales_t": {"unet/x": [0.1, 0.2]},
+            "meta": {"ckpt": "/a/ema_0.999_012000.msgpack",
+                     "time_bins": 2, "chain_steps": 2,
+                     "sampler": "ddim", "respacing": "ddim25"},
+        }))
+        with pytest.warns(UserWarning, match="per-time-bin"):
+            with pytest.raises(ValueError, match="checkpoint"):
+                self._main(monkeypatch, [
+                    "--int8", "True", "--use_ddim", "True",
+                    "--int8_scales", str(f),
+                    "--model_path", "/b/ema_0.999_004000.msgpack",
+                    "--timestep_respacing", "ddim25",
+                ])
+        assert os.environ.get("DDPM3D_INT8") != "1"
+
+    def test_int8_dpm_solver_still_refused_with_time_bins(
+            self, tmp_path, monkeypatch):
+        import json
+
+        f = tmp_path / "binned.json"
+        f.write_text(json.dumps({
+            "scales": {"unet/x": 0.1},
+            "scales_t": {"unet/x": [0.1, 0.2]},
+            "meta": {"time_bins": 2, "chain_steps": 2},
+        }))
+        with pytest.raises(SystemExit, match="use_dpm_solver"):
+            self._main(monkeypatch, [
+                "--int8", "True", "--use_dpm_solver", "True",
+                "--int8_scales", str(f),
+            ])
+        assert os.environ.get("DDPM3D_INT8") != "1"
